@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Device mesh & sharding helpers — the TPU replacement for the reference's
+NCCL DDP layer (/root/reference/aps/distributed/backend.py).
+
+One logical mesh with named axes:
+  "data"  — batch-parallel axis (required for parity: the reference only has DP)
+  "model" — tensor-parallel axis (size 1 by default; room for TP/SP on long
+            sequence SSE workloads — see SURVEY.md §2.10)
+
+Everything trains as a single pjit'd SPMD program: batches are sharded over
+"data" via NamedSharding, gradients are reduced by XLA-inserted collectives
+riding ICI — no hand-written all_reduce.
+"""
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+BATCH_KEYS_1D = ("src_len", "tgt_len", "len", "x_len", "y_len")
+
+
+def build_mesh(devices: Optional[Sequence] = None,
+               data: int = -1,
+               model: int = 1) -> Mesh:
+    """Create a ("data", "model") mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data < 0:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard leading (batch) dim over "data", replicate the rest."""
+    spec = P("data", *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicate_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_egs(mesh: Mesh, egs: Dict) -> Dict:
+    """Place a host egs dict on the mesh: arrays sharded on dim-0 over "data",
+    python scalars (#utt/#tok) left on host."""
+    out = {}
+    for k, v in egs.items():
+        if isinstance(v, (np.ndarray, jax.Array)) and v.ndim > 0:
+            out[k] = jax.device_put(v, data_sharding(mesh, v.ndim))
+        else:
+            out[k] = v
+    return out
+
+
+def pad_batch_to_multiple(egs: Dict, multiple: int) -> Dict:
+    """Pad the batch axis so it divides the mesh's data axis; adds a
+    "#pad" count so losses can mask the dummy rows."""
+    sizes = [
+        v.shape[0] for v in egs.values()
+        if isinstance(v, np.ndarray) and v.ndim > 0
+    ]
+    if not sizes:
+        return egs
+    bsz = sizes[0]
+    pad = (-bsz) % multiple
+    if pad == 0:
+        return egs
+    out = {}
+    for k, v in egs.items():
+        if isinstance(v, np.ndarray) and v.ndim > 0 and v.shape[0] == bsz:
+            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, widths)
+        else:
+            out[k] = v
+    out["#pad"] = pad
+    return out

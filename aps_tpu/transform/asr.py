@@ -1,0 +1,612 @@
+#!/usr/bin/env python
+"""Feature transform layers for ASR (string-programmed pipeline).
+
+Parity surface: /root/reference/aps/transform/asr.py — same layer zoo
+(Rescale/PreEmphasis/SpeedPerturb/Spectrogram/TFTranspose/Magnitude/Abs/
+Power/Mel/Log/DCT/Cmvn/SpecAug/Splice/Delta) and the same composite
+`FeatureTransform` registered as "asr" with feats strings like
+"perturb-fbank-log-cmvn-aug".
+
+TPU design notes:
+ * every layer is a flax.linen Module; RNG for perturb/specaug comes from the
+   "aug" rng collection (threaded by the trainer), never from host RNG;
+ * all shapes are static: speed perturb keeps the padded sample-buffer length
+   fixed (the resampled signal is written into the same S-sample buffer and
+   `num_frames` is corrected from the factor) instead of reallocating batches;
+ * the mel matrix is a linen param when requires_grad=True, else a constant
+   folded into the compiled program.
+
+Notation: N batch, C channels, T frames, F bins, S samples.
+"""
+
+import math
+import warnings
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from aps_tpu.const import EPSILON, MAX_INT16
+from aps_tpu.libs import ApsRegisters
+from aps_tpu.transform.augment import perturb_speed, tf_mask
+from aps_tpu.transform.utils import (dct_matrix, fft_size_of, forward_stft,
+                                     make_window, mel_filter, num_frames,
+                                     speed_perturb_filter, splice_feature)
+
+AUG_RNG = "aug"
+
+
+class RescaleTransform(nn.Module):
+    """[-1,1]-normalized samples -> int16 scale (round(wav * 2^15))."""
+    rescale: float = MAX_INT16 * 1.0
+
+    def exportable(self) -> bool:
+        return False
+
+    def __call__(self, wav: jnp.ndarray, training: bool = False):
+        return jnp.round(wav * self.rescale)
+
+
+class PreEmphasisTransform(nn.Module):
+    """Utterance-level pre-emphasis (frame-level variant lives in STFT)."""
+    pre_emphasis: float = 0
+
+    def exportable(self) -> bool:
+        return False
+
+    def __call__(self, wav: jnp.ndarray, training: bool = False):
+        if self.pre_emphasis > 0:
+            rest = wav[..., 1:] - self.pre_emphasis * wav[..., :-1]
+            wav = jnp.concatenate([wav[..., :1], rest], axis=-1)
+        return wav
+
+
+class SpeedPerturbTransform(nn.Module):
+    """Random speed perturbation via polyphase resampling.
+
+    Static-shape contract: output buffer keeps S samples (faster speech
+    zero-padded, slower speech truncated at the padded tail); the utterance
+    length correction is applied by `output_length`. The chosen factor per
+    batch is drawn from the "aug" rng collection, uniformly over the factor
+    list (single factor per batch to keep one resampler trace)."""
+    sr: int = 16000
+    perturb: str = "0.9,1.0,1.1"
+
+    def setup(self):
+        dst_sr = [int(f * self.sr) for f in map(float, self.perturb.split(","))]
+        if not dst_sr:
+            raise ValueError("No perturb options for doing speed perturb")
+        if self.sr not in dst_sr:
+            raise ValueError(f"Keep 1.0 in perturb options: {self.perturb}")
+        self.weights = [
+            speed_perturb_filter(self.sr, fs) for fs in dst_sr if fs != self.sr
+        ]
+        self.ratios = [(w.shape[1], w.shape[0]) for w in self.weights]
+
+    def exportable(self) -> bool:
+        return False
+
+    def output_length(self, inp_len, choice):
+        """Per-utterance length after perturbation with branch `choice`."""
+        if inp_len is None:
+            return None
+        ratios = np.asarray(list(self.ratios) + [(1, 1)], dtype=np.int64)
+        src = jnp.asarray(ratios[:, 0])[choice]
+        dst = jnp.asarray(ratios[:, 1])[choice]
+        return (inp_len // src) * dst
+
+    def __call__(self, wav: jnp.ndarray, training: bool = False):
+        """wav: N x S -> (N x S, choice: N)"""
+        nb = len(self.weights)
+        if not training or nb == 0:
+            return wav, jnp.full((wav.shape[0],), nb, dtype=jnp.int32)
+        key = self.make_rng(AUG_RNG)
+        # one branch per batch: keeps a single static resampler in the graph
+        choice = jax.random.randint(key, (), 0, nb + 1)
+        S = wav.shape[-1]
+
+        def apply_branch(i):
+            def fn(x):
+                y = perturb_speed(x, jnp.asarray(self.weights[i]))
+                if y.shape[-1] >= S:
+                    return y[..., :S]
+                return jnp.pad(y, [(0, 0), (0, S - y.shape[-1])])
+            return fn
+
+        out = jax.lax.switch(choice, [apply_branch(i) for i in range(nb)] +
+                             [lambda x: x], wav)
+        return out, jnp.full((wav.shape[0],), choice, dtype=jnp.int32)
+
+
+class TFTransposeTransform(nn.Module):
+    """Swap time/frequency axes."""
+    axis1: int = -1
+    axis2: int = -2
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, tensor: jnp.ndarray, training: bool = False):
+        return jnp.swapaxes(tensor, self.axis1, self.axis2)
+
+
+class SpectrogramTransform(nn.Module):
+    """STFT layer: N x (C) x S -> N x (C) x F x T x 2."""
+    frame_len: int
+    frame_hop: int
+    window: str = "hamm"
+    round_pow_of_two: bool = True
+    normalized: bool = False
+    pre_emphasis: float = 0.97
+    onesided: bool = True
+    center: bool = False
+    mode: str = "librosa"
+
+    @property
+    def num_bins(self) -> int:
+        return fft_size_of(self.frame_len, self.round_pow_of_two
+                           or self.mode == "kaldi") // 2 + 1
+
+    def dim(self) -> int:
+        return self.num_bins
+
+    def exportable(self) -> bool:
+        return True
+
+    def num_frames(self, wav_len):
+        return num_frames(wav_len, self.frame_len, self.frame_hop,
+                          self.round_pow_of_two, self.mode, self.center)
+
+    def __call__(self, wav: jnp.ndarray, training: bool = False):
+        return forward_stft(wav,
+                            self.frame_len,
+                            self.frame_hop,
+                            window=self.window,
+                            round_pow_of_two=self.round_pow_of_two,
+                            pre_emphasis=self.pre_emphasis,
+                            normalized=self.normalized,
+                            onesided=self.onesided,
+                            center=self.center,
+                            mode=self.mode)
+
+
+class MagnitudeTransform(nn.Module):
+    """Norm over the real/imag axis: ... x 2 -> ..."""
+    dim: int = -1
+    eps: float = 0
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, inp: jnp.ndarray, training: bool = False):
+        return jnp.sqrt(jnp.sum(inp**2, axis=self.dim) + self.eps)
+
+
+class AbsTransform(nn.Module):
+    eps: float = 1e-6
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, tensor: jnp.ndarray, training: bool = False):
+        return jnp.abs(tensor) + self.eps
+
+
+class PowerTransform(nn.Module):
+    power: float = 2
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, tensor: jnp.ndarray, training: bool = False):
+        return tensor**self.power
+
+
+class MelTransform(nn.Module):
+    """Mel filterbank projection: N x (C) x T x F -> ... x num_mels.
+
+    A single (F x M) matmul — MXU-friendly; trainable when requires_grad."""
+    frame_len: int
+    round_pow_of_two: bool = True
+    sr: int = 16000
+    num_mels: int = 80
+    fmin: float = 0.0
+    fmax: Optional[float] = None
+    coeff_norm: bool = False
+    mel_matrix: str = ""
+    requires_grad: bool = False
+
+    def setup(self):
+        if self.mel_matrix:
+            filters = np.load(self.mel_matrix)
+        else:
+            filters = mel_filter(self.frame_len,
+                                 round_pow_of_two=self.round_pow_of_two,
+                                 sr=self.sr,
+                                 num_mels=self.num_mels,
+                                 fmin=self.fmin,
+                                 fmax=self.fmax,
+                                 norm=self.coeff_norm)
+        if self.requires_grad:
+            self.filters = self.param("filters", lambda _: jnp.asarray(filters))
+        else:
+            self.filters = jnp.asarray(filters)
+
+    def dim(self) -> int:
+        return self.num_mels
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, linear: jnp.ndarray, training: bool = False):
+        return jnp.einsum("...f,mf->...m", linear, self.filters)
+
+
+class LogTransform(nn.Module):
+    eps: float = 1e-5
+    lower_bound: float = 0.0
+
+    def dim_scale(self) -> int:
+        return 1
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, linear: jnp.ndarray, training: bool = False):
+        if self.lower_bound > 0:
+            return jnp.log(self.lower_bound + linear)
+        return jnp.log(jnp.maximum(linear, self.eps))
+
+
+class DiscreteCosineTransform(nn.Module):
+    """log-mel -> MFCC via orthonormal DCT-II (+liftering)."""
+    num_ceps: int = 13
+    num_mels: int = 80
+    lifter: float = 0
+
+    def setup(self):
+        self.dct = jnp.asarray(
+            dct_matrix(self.num_ceps, self.num_mels, lifter=self.lifter))
+
+    def dim(self) -> int:
+        return self.num_ceps
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, log_mel: jnp.ndarray, training: bool = False):
+        return jnp.einsum("...m,cm->...c", log_mel, self.dct)
+
+
+class CmvnTransform(nn.Module):
+    """Utterance-level or global mean/variance normalization over time."""
+    norm_mean: bool = True
+    norm_var: bool = True
+    per_band: bool = True
+    dim: int = 1
+    gcmvn: str = ""
+    eps: float = 1e-5
+
+    def setup(self):
+        self.gmean, self.gstd = None, None
+        if self.gcmvn:
+            try:
+                if self.gcmvn.endswith(".ark"):
+                    from aps_tpu.loader.kaldi_io import read_kaldi_mat
+                    cmvn = read_kaldi_mat(self.gcmvn).astype(np.float64)
+                    cnt = cmvn[0, -1]
+                    mean = cmvn[0, :-1] / cnt
+                    std = np.sqrt(cmvn[1, :-1] / cnt - mean**2)
+                else:
+                    stats = np.load(self.gcmvn)
+                    mean, std = stats[0], stats[1]
+                self.gmean = jnp.asarray(mean, dtype=jnp.float32)
+                self.gstd = jnp.asarray(std, dtype=jnp.float32)
+            except FileNotFoundError:
+                warnings.warn(f"{self.gcmvn} not found (no impact when "
+                              "loading from checkpoint later) ...")
+                self.gmean = jnp.zeros(self.dim)
+                self.gstd = jnp.ones(self.dim)
+
+    def dim_scale(self) -> int:
+        return 1
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, feats: jnp.ndarray, training: bool = False):
+        """feats: N x (C) x T x F, normalized over T (per band) or T+F."""
+        if not self.norm_mean and not self.norm_var:
+            return feats
+        if self.gmean is not None:
+            if self.norm_mean:
+                feats = feats - self.gmean
+            if self.norm_var:
+                feats = feats / self.gstd
+            return feats
+        axes = (-2,) if self.per_band else (-1, -2)
+        if self.norm_mean:
+            feats = feats - jnp.mean(feats, axes, keepdims=True)
+            var = jnp.mean(feats**2, axes, keepdims=True)
+        else:
+            var = jnp.var(feats, axes, keepdims=True)
+        if self.norm_var:
+            feats = feats / jnp.sqrt(var + self.eps)
+        return feats
+
+
+class SpecAugTransform(nn.Module):
+    """SpecAugment: per-utterance coin with prob p, then time/freq masks."""
+    p: float = 0.5
+    adaptive_args: Tuple[float, float] = (0.0, 0.0)
+    time_args: Tuple[int, int] = (40, 1)
+    freq_args: Tuple[int, int] = (30, 1)
+    mask_zero: bool = True
+
+    def exportable(self) -> bool:
+        return False
+
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        if not training or self.p <= 0:
+            return x
+        key = self.make_rng(AUG_RNG)
+        kc, km = jax.random.split(key)
+        if x.ndim == 4:
+            N, _, T, F = x.shape
+        else:
+            N, T, F = x.shape
+        mask = tf_mask(km, N, (T, F),
+                       pm=self.adaptive_args[0],
+                       ps=self.adaptive_args[1],
+                       max_bands=self.freq_args[0],
+                       max_frame=self.time_args[0],
+                       num_freq_masks=self.freq_args[1],
+                       num_time_masks=self.time_args[1])
+        # per-utterance application coin (vectorized version of the
+        # reference's single batch-level coin)
+        coin = jax.random.uniform(kc, (N,)) < self.p
+        mask = jnp.where(coin[:, None, None], mask, 1.0)
+        if x.ndim == 4:
+            mask = mask[:, None]
+        if self.mask_zero:
+            return x * mask
+        return jnp.where(mask == 0, jnp.mean(x), x)
+
+
+class SpliceTransform(nn.Module):
+    """Frame splicing + subsampling."""
+    lctx: int = 0
+    rctx: int = 0
+    subsampling_factor: int = 1
+
+    def dim_scale(self) -> int:
+        return 1 + max(self.rctx, 0) + max(self.lctx, 0)
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, feats: jnp.ndarray, training: bool = False):
+        feats = splice_feature(feats, lctx=max(self.lctx, 0),
+                               rctx=max(self.rctx, 0))
+        sf = self.subsampling_factor
+        if sf != 1:
+            end = (feats.shape[-2] // sf) * sf
+            feats = feats[..., :end:sf, :]
+        return feats
+
+
+class DeltaTransform(nn.Module):
+    """Delta / delta-delta features."""
+    ctx: int = 2
+    order: int = 2
+    delta_as_channel: bool = False
+
+    def dim_scale(self) -> int:
+        return self.order
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, feats: jnp.ndarray, training: bool = False):
+        scale = np.arange(-self.ctx, self.ctx + 1, dtype=np.float32)
+        scale = scale / np.sum(scale**2)
+        delta = [feats]
+        for _ in range(self.order):
+            splice = splice_feature(delta[-1], lctx=self.ctx, rctx=self.ctx,
+                                    op="stack")
+            delta.append(jnp.sum(splice * jnp.asarray(scale), -1))
+        if self.delta_as_channel:
+            return jnp.stack(delta, 1)
+        return jnp.concatenate(delta, -1)
+
+
+@ApsRegisters.transform.register("asr")
+class FeatureTransform(nn.Module):
+    """String-programmed ASR feature pipeline, e.g.
+    feats="perturb-fbank-log-cmvn-aug". See the reference docstring
+    (/root/reference/aps/transform/asr.py:784) for the token vocabulary."""
+    feats: str = "fbank-log-cmvn"
+    frame_len: int = 400
+    frame_hop: int = 160
+    window: str = "hamm"
+    center: bool = False
+    round_pow_of_two: bool = True
+    stft_normalized: bool = False
+    stft_mode: str = "librosa"
+    audio_norm: bool = True
+    pre_emphasis: float = 0.97
+    use_power: bool = False
+    sr: int = 16000
+    speed_perturb: str = "0.9,1.0,1.1"
+    log_lower_bound: float = 0
+    num_mels: int = 80
+    mel_matrix: str = ""
+    mel_coeff_norm: bool = False
+    min_freq: int = 0
+    max_freq: Optional[int] = None
+    num_ceps: int = 13
+    lifter: float = 0
+    aug_prob: float = 0
+    aug_adaptive_args: Tuple[float, float] = (0, 0)
+    aug_mask_zero: bool = True
+    aug_time_args: Tuple[int, int] = (40, 1)
+    aug_freq_args: Tuple[int, int] = (30, 1)
+    norm_mean: bool = True
+    norm_var: bool = True
+    norm_per_band: bool = True
+    gcmvn: str = ""
+    subsampling_factor: int = 1
+    lctx: int = 1
+    rctx: int = 1
+    delta_ctx: int = 2
+    delta_order: int = 2
+    delta_as_channel: bool = False
+    requires_grad: bool = False
+    eps: float = EPSILON
+
+    def setup(self):
+        if not self.feats:
+            raise ValueError("FeatureTransform: 'feats' can not be empty")
+        stft_kwargs = dict(mode=self.stft_mode,
+                           window=self.window,
+                           center=self.center,
+                           normalized=self.stft_normalized,
+                           pre_emphasis=self.pre_emphasis,
+                           round_pow_of_two=self.round_pow_of_two)
+        mel_kwargs = dict(round_pow_of_two=self.round_pow_of_two,
+                          sr=self.sr,
+                          fmin=self.min_freq,
+                          fmax=self.max_freq,
+                          num_mels=self.num_mels,
+                          coeff_norm=self.mel_coeff_norm,
+                          mel_matrix=self.mel_matrix,
+                          requires_grad=self.requires_grad)
+        layers = [] if self.audio_norm else [RescaleTransform()]
+        feats_dim = 0
+        spectra_index, perturb_index = -1, -1
+        for tok in self.feats.split("-"):
+            if tok == "perturb":
+                perturb_index = len(layers)
+                layers.append(SpeedPerturbTransform(
+                    sr=self.sr, perturb=self.speed_perturb))
+            elif tok == "emph":
+                layers.append(PreEmphasisTransform(
+                    pre_emphasis=self.pre_emphasis))
+            elif tok in ("spectrogram", "fbank", "mfcc"):
+                spectra_index = len(layers)
+                stack = [
+                    SpectrogramTransform(self.frame_len, self.frame_hop,
+                                         **stft_kwargs),
+                    MagnitudeTransform(dim=-1),
+                    TFTransposeTransform(),
+                    PowerTransform(power=2 if self.use_power else 1),
+                ]
+                feats_dim = stack[0].dim()
+                if tok in ("fbank", "mfcc"):
+                    stack.append(MelTransform(self.frame_len, **mel_kwargs))
+                    feats_dim = stack[-1].dim()
+                if tok == "mfcc":
+                    stack += [
+                        LogTransform(eps=self.eps,
+                                     lower_bound=self.log_lower_bound),
+                        DiscreteCosineTransform(num_ceps=self.num_ceps,
+                                                num_mels=self.num_mels,
+                                                lifter=self.lifter)
+                    ]
+                    feats_dim = stack[-1].dim()
+                layers += stack
+            elif tok == "trans":
+                layers.append(TFTransposeTransform())
+            elif tok == "pow":
+                layers.append(PowerTransform())
+            elif tok == "mel":
+                layers.append(MelTransform(self.frame_len, **mel_kwargs))
+                feats_dim = layers[-1].dim()
+            elif tok == "log":
+                layers.append(LogTransform(eps=self.eps,
+                                           lower_bound=self.log_lower_bound))
+            elif tok == "abs":
+                layers.append(AbsTransform(eps=self.eps))
+            elif tok == "dct":
+                layers.append(DiscreteCosineTransform(
+                    num_ceps=self.num_ceps, num_mels=self.num_mels,
+                    lifter=self.lifter))
+                feats_dim = layers[-1].dim()
+            elif tok == "cmvn":
+                layers.append(CmvnTransform(norm_mean=self.norm_mean,
+                                            norm_var=self.norm_var,
+                                            per_band=self.norm_per_band,
+                                            gcmvn=self.gcmvn,
+                                            dim=feats_dim,
+                                            eps=self.eps))
+            elif tok == "aug":
+                layers.append(SpecAugTransform(
+                    p=self.aug_prob,
+                    adaptive_args=self.aug_adaptive_args,
+                    freq_args=self.aug_freq_args,
+                    time_args=self.aug_time_args,
+                    mask_zero=self.aug_mask_zero))
+            elif tok == "splice":
+                layers.append(SpliceTransform(
+                    lctx=self.lctx, rctx=self.rctx,
+                    subsampling_factor=self.subsampling_factor))
+                feats_dim *= (1 + self.lctx + self.rctx)
+            elif tok == "delta":
+                layers.append(DeltaTransform(
+                    ctx=self.delta_ctx, order=self.delta_order,
+                    delta_as_channel=self.delta_as_channel))
+                feats_dim *= (1 + self.delta_order)
+            else:
+                raise RuntimeError(f"Unknown token {tok} in {self.feats}")
+        self.layers = layers
+        self.feats_dim = feats_dim
+        self.spectra_index = spectra_index
+        self.perturb_index = perturb_index
+
+    def dim(self) -> int:
+        return self.feats_dim
+
+    @property
+    def accept_raw(self) -> bool:
+        """True if the pipeline starts from raw waveform (has a STFT)."""
+        return self.spectra_index != -1
+
+    def _num_frames(self, inp_len, choice=None):
+        if inp_len is None:
+            return None
+        if self.spectra_index == -1:
+            return inp_len
+        if self.perturb_index != -1 and choice is not None:
+            inp_len = self.layers[self.perturb_index].output_length(
+                inp_len, choice)
+        nf = self.layers[self.spectra_index].num_frames(inp_len)
+        return nf // self.subsampling_factor
+
+    def __call__(self, inp_pad: jnp.ndarray, inp_len, training: bool = False,
+                 skip_stft: bool = False):
+        """inp_pad: N x (C x) S raw waveform (or precomputed features),
+        inp_len: N or None. Returns (feats N x (C x) T x F, num_frames).
+        skip_stft=True feeds already-computed STFT (N x (C) x F x T x 2)
+        through the post-spectrogram layers (used by EnhTransform)."""
+        feats = inp_pad
+        choice = None
+        for idx, layer in enumerate(self.layers):
+            if skip_stft and idx == self.spectra_index:
+                continue
+            if isinstance(layer, SpeedPerturbTransform):
+                feats, choice = layer(feats, training=training)
+            else:
+                feats = layer(feats, training=training)
+        if skip_stft:
+            return feats, inp_len
+        num_frames = self._num_frames(inp_len, choice)
+        if num_frames is not None:
+            # clip in case padded samples produced extra frames
+            num_frames = jnp.minimum(num_frames, feats.shape[-2])
+        return feats, num_frames
+
+
+# alias matching the reference public name
+AsrTransform = FeatureTransform

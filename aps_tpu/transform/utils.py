@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""DSP primitives: windows, framing, STFT/iSTFT, mel/DCT matrices, splicing.
+
+Parity surface: /root/reference/aps/transform/utils.py (init_window:30,
+init_kernel:62, mel_filter:115, speed_perturb_filter:159, splice_feature:193,
+forward_stft:594-, STFT/iSTFT classes:678,720).
+
+TPU design: the reference computes STFT as conv1d against a DFT kernel (an
+O(W^2) matmul per frame). Here framing is a strided gather and the DFT is
+`jnp.fft.rfft` — O(W log W), fuses with the window multiply, and XLA pipelines
+the batch. Both "kaldi" and "librosa" framing modes are reproduced exactly:
+  librosa: fft_size = 2^ceil(log2(frame_len)), window center-padded to
+           fft_size, frames are fft_size samples long
+  kaldi:   frames are frame_len samples, zero-padded at the END to fft_size,
+           per-frame pre-emphasis
+Output layout matches the reference: N x (C) x F x T x 2 (real/imag or
+mag/phase in the last dim).
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aps_tpu.const import EPSILON
+
+# ---------------------------------------------------------------------------
+# coefficient construction (host/numpy, cached)
+# ---------------------------------------------------------------------------
+
+
+def init_window(wnd: str, frame_len: int) -> np.ndarray:
+    """Periodic window coefficients (matching torch.*_window(periodic=True))."""
+
+    def periodic(fn, n):
+        return fn(n + 1)[:-1]
+
+    wnd_tpl = {
+        "hann": lambda n: periodic(np.hanning, n),
+        "sqrthann": lambda n: periodic(np.hanning, n)**0.5,
+        "hamm": lambda n: periodic(np.hamming, n),
+        "blackman": lambda n: periodic(np.blackman, n),
+        "bartlett": lambda n: periodic(np.bartlett, n),
+        "rect": np.ones,
+    }
+    if wnd not in wnd_tpl:
+        raise RuntimeError(f"Unknown window type: {wnd}")
+    return wnd_tpl[wnd](frame_len).astype(np.float32)
+
+
+def fft_size_of(frame_len: int, round_pow_of_two: bool = True) -> int:
+    return 2**math.ceil(math.log2(frame_len)) if round_pow_of_two else frame_len
+
+
+def _stft_geometry(frame_len: int, round_pow_of_two: bool,
+                   mode: str) -> Tuple[int, int]:
+    """Return (fft_size, win_length). kaldi always rounds to pow2 and keeps
+    frame_len-sample windows; librosa center-pads the window to fft_size."""
+    if mode not in ("librosa", "kaldi"):
+        raise ValueError(f"Unsupported STFT mode: {mode}")
+    fft_size = fft_size_of(frame_len, round_pow_of_two or mode == "kaldi")
+    win_length = frame_len if mode == "kaldi" else fft_size
+    return fft_size, win_length
+
+
+def make_window(wnd: str, frame_len: int, round_pow_of_two: bool,
+                mode: str) -> np.ndarray:
+    """Window padded to the analysis length for the given mode."""
+    fft_size, win_length = _stft_geometry(frame_len, round_pow_of_two, mode)
+    window = init_window(wnd, frame_len)
+    if mode == "librosa" and fft_size != frame_len:
+        lpad = (fft_size - frame_len) // 2
+        window = np.pad(window, (lpad, fft_size - frame_len - lpad))
+    return window.astype(np.float32)
+
+
+def mel_filter(frame_len: int,
+               round_pow_of_two: bool = True,
+               num_bins: Optional[int] = None,
+               sr: int = 16000,
+               num_mels: int = 80,
+               fmin: float = 0.0,
+               fmax: Optional[float] = None,
+               norm: bool = False) -> np.ndarray:
+    """HTK-mel triangular filterbank, num_mels x (N//2+1) (librosa-compatible:
+    filters.mel(htk=True, norm="slaney" if norm else None))."""
+    if num_bins is None:
+        N = fft_size_of(frame_len, round_pow_of_two)
+    else:
+        N = (num_bins - 1) * 2
+    freq_upper = sr // 2
+    if fmax is None:
+        fmax = freq_upper
+    else:
+        fmax = min(fmax + freq_upper if fmax < 0 else fmax, freq_upper)
+    fmin = max(0, fmin)
+
+    def hz2mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel2hz(m):
+        return 700.0 * (10.0**(np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    fft_freqs = np.linspace(0, sr / 2, N // 2 + 1)
+    mel_pts = mel2hz(np.linspace(hz2mel(fmin), hz2mel(fmax), num_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0, np.minimum(lower, upper))
+    if norm:
+        enorm = 2.0 / (mel_pts[2:num_mels + 2] - mel_pts[:num_mels])
+        weights *= enorm[:, None]
+    return weights.astype(np.float32)
+
+
+def dct_matrix(num_ceps: int, num_mels: int, lifter: float = 0) -> np.ndarray:
+    """Orthonormal DCT-II matrix (num_ceps x num_mels) + optional liftering."""
+    n = np.arange(num_mels)
+    k = np.arange(num_ceps)[:, None]
+    dct = np.cos(np.pi * k * (2 * n + 1) / (2 * num_mels))
+    dct[0] *= 1.0 / math.sqrt(num_mels)
+    dct[1:] *= math.sqrt(2.0 / num_mels)
+    if lifter > 0:
+        cepw = 1 + 0.5 * lifter * np.sin(np.pi * np.arange(num_ceps) / lifter)
+        dct *= cepw[:, None]
+    return dct.astype(np.float32)
+
+
+def speed_perturb_filter(src_sr: int,
+                         dst_sr: int,
+                         cutoff_ratio: float = 0.95,
+                         num_zeros: int = 64) -> np.ndarray:
+    """Polyphase resampling filter bank, dst_sr x src_sr x K (after gcd
+    reduction). Windowed-sinc design following lilfilter/resampler."""
+    if src_sr == dst_sr:
+        raise ValueError(f"src_sr == dst_sr: {src_sr}/{dst_sr}")
+    gcd = math.gcd(src_sr, dst_sr)
+    src_sr = src_sr // gcd
+    dst_sr = dst_sr // gcd
+    if src_sr == 1 or dst_sr == 1:
+        raise ValueError("integer-factor resampling not supported")
+    zeros_per_block = min(src_sr, dst_sr) * cutoff_ratio
+    padding = 1 + int(num_zeros / zeros_per_block)
+    times = (np.arange(dst_sr)[:, None, None] / float(dst_sr) -
+             np.arange(src_sr)[None, :, None] / float(src_sr) -
+             np.arange(2 * padding + 1)[None, None, :] + padding)
+    window = np.heaviside(1 - np.abs(times / padding),
+                          0.0) * (0.5 + 0.5 * np.cos(times / padding * math.pi))
+    weight = np.sinc(times * zeros_per_block) * window * \
+        zeros_per_block / float(src_sr)
+    return weight.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# jnp compute path
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(wav: jnp.ndarray, win_length: int,
+                 frame_hop: int) -> jnp.ndarray:
+    """... x S -> ... x T x W strided framing (XLA gather)."""
+    S = wav.shape[-1]
+    num_frames = (S - win_length) // frame_hop + 1
+    idx = (np.arange(num_frames)[:, None] * frame_hop +
+           np.arange(win_length)[None, :])
+    return wav[..., idx]
+
+
+def num_frames(wav_len, frame_len: int, frame_hop: int,
+               round_pow_of_two: bool = True, mode: str = "librosa",
+               center: bool = False):
+    """Frame count for given sample counts (matches STFTBase.num_frames)."""
+    _, win_length = _stft_geometry(frame_len, round_pow_of_two, mode)
+    if center:
+        wav_len = wav_len + 2 * (win_length // 2)
+    return (wav_len - win_length) // frame_hop + 1
+
+
+def forward_stft(wav: jnp.ndarray,
+                 frame_len: int,
+                 frame_hop: int,
+                 window: str = "sqrthann",
+                 round_pow_of_two: bool = True,
+                 return_polar: bool = False,
+                 pre_emphasis: float = 0,
+                 normalized: bool = False,
+                 onesided: bool = True,
+                 center: bool = False,
+                 mode: str = "librosa",
+                 eps: float = EPSILON) -> jnp.ndarray:
+    """STFT: N x (C) x S -> N x (C) x F x T x 2."""
+    fft_size, win_length = _stft_geometry(frame_len, round_pow_of_two, mode)
+    win = jnp.asarray(make_window(window, frame_len, round_pow_of_two, mode))
+    if center:
+        pad = win_length // 2
+        widths = [(0, 0)] * (wav.ndim - 1) + [(pad, pad)]
+        wav = jnp.pad(wav, widths, mode="reflect")
+    # ... x T x W
+    frames = frame_signal(wav, win_length, frame_hop)
+    if pre_emphasis > 0:
+        head = frames[..., :1] * (1 - pre_emphasis)
+        rest = frames[..., 1:] - pre_emphasis * frames[..., :-1]
+        frames = jnp.concatenate([head, rest], axis=-1)
+    frames = frames * win
+    # rfft zero-pads kaldi frames (win_length < fft_size) at the end
+    spec = jnp.fft.rfft(frames, n=fft_size, axis=-1)
+    if normalized:
+        spec = spec / math.sqrt(fft_size)
+    if not onesided:
+        full = jnp.concatenate([spec, jnp.conj(spec[..., -2:0:-1])], axis=-1)
+        spec = full
+    # ... x T x F -> ... x F x T
+    spec = jnp.swapaxes(spec, -1, -2)
+    if return_polar:
+        mag = jnp.sqrt(spec.real**2 + spec.imag**2 + eps)
+        pha = jnp.arctan2(spec.imag, spec.real)
+        return jnp.stack([mag, pha], axis=-1)
+    return jnp.stack([spec.real, spec.imag], axis=-1)
+
+
+def inverse_stft(transform: jnp.ndarray,
+                 frame_len: int,
+                 frame_hop: int,
+                 window: str = "sqrthann",
+                 round_pow_of_two: bool = True,
+                 return_polar: bool = False,
+                 normalized: bool = False,
+                 onesided: bool = True,
+                 center: bool = False,
+                 mode: str = "librosa",
+                 eps: float = EPSILON) -> jnp.ndarray:
+    """iSTFT: (N) x F x T x 2 -> N x S (overlap-add synthesis)."""
+    if transform.ndim == 3:
+        transform = transform[None]
+    fft_size, win_length = _stft_geometry(frame_len, round_pow_of_two, mode)
+    win = jnp.asarray(make_window(window, frame_len, round_pow_of_two, mode))
+    if return_polar:
+        real = transform[..., 0] * jnp.cos(transform[..., 1])
+        imag = transform[..., 0] * jnp.sin(transform[..., 1])
+    else:
+        real, imag = transform[..., 0], transform[..., 1]
+    spec = real + 1j * imag
+    # N x F x T -> N x T x F
+    spec = jnp.swapaxes(spec, -1, -2)
+    if not onesided:
+        spec = spec[..., :fft_size // 2 + 1]
+    # N x T x fft_size, truncated to the analysis window length
+    frames = jnp.fft.irfft(spec, n=fft_size, axis=-1)[..., :win_length]
+    if normalized:
+        frames = frames * math.sqrt(fft_size)
+    frames = frames * win
+    wav = overlap_add(frames, frame_hop)
+    # window^2 OLA normalization
+    T = frames.shape[-2]
+    denorm = overlap_add(
+        jnp.broadcast_to(win**2, (1, T, win_length)), frame_hop)[0]
+    if center:
+        pad = win_length // 2
+        wav = wav[..., pad:-pad]
+        denorm = denorm[..., pad:-pad]
+    return wav / (denorm + eps)
+
+
+def overlap_add(frames: jnp.ndarray, frame_hop: int) -> jnp.ndarray:
+    """... x T x W -> ... x S scatter-add synthesis."""
+    T, W = frames.shape[-2], frames.shape[-1]
+    S = (T - 1) * frame_hop + W
+    idx = (np.arange(T)[:, None] * frame_hop +
+           np.arange(W)[None, :]).reshape(-1)
+    flat = frames.reshape(frames.shape[:-2] + (T * W,))
+    out = jnp.zeros(frames.shape[:-2] + (S,), dtype=frames.dtype)
+    return out.at[..., idx].add(flat)
+
+
+def splice_feature(feats: jnp.ndarray,
+                   lctx: int = 1,
+                   rctx: int = 1,
+                   op: str = "cat") -> jnp.ndarray:
+    """Splice left/right context frames: N x ... x T x F -> N x ... x T x FD
+    (op=cat) or ... x T x F x D (op=stack); edges clamped."""
+    if lctx + rctx == 0:
+        return feats
+    if op not in ("cat", "stack"):
+        raise ValueError(f"Unknown op for feature splicing: {op}")
+    T = feats.shape[-2]
+    ctx = []
+    for c in range(-lctx, rctx + 1):
+        idx = np.clip(np.arange(c, c + T), 0, T - 1)
+        ctx.append(jnp.take(feats, idx, axis=-2))
+    return jnp.concatenate(ctx, -1) if op == "cat" else jnp.stack(ctx, -1)
+
+
+def delta_feature(feats: jnp.ndarray, ctx: int = 2, order: int = 2):
+    """Append delta (and delta-delta, ...) features along a new last axis.
+    N x ... x T x F -> N x ... x T x F x (order+1)."""
+    scale = np.arange(-ctx, ctx + 1, dtype=np.float32)
+    scale = scale / np.sum(scale**2)
+    out = [feats]
+    cur = feats
+    for _ in range(order):
+        acc = jnp.zeros_like(cur)
+        T = cur.shape[-2]
+        for off, w in zip(range(-ctx, ctx + 1), scale):
+            idx = np.clip(np.arange(off, off + T), 0, T - 1)
+            acc = acc + w * jnp.take(cur, idx, axis=-2)
+        out.append(acc)
+        cur = acc
+    return jnp.stack(out, axis=-1)
