@@ -105,7 +105,15 @@ class ApsModules(object):
 
 def import_module_list(modules: Iterable[str]):
     for m in modules:
-        importlib.import_module(m)
+        try:
+            importlib.import_module(m)
+        except ModuleNotFoundError as e:
+            # tolerate not-yet-implemented submodules; re-raise real
+            # import errors from existing modules
+            if e.name and e.name.startswith("aps_tpu"):
+                logger.warning(f"Skip missing submodule: {m}")
+            else:
+                raise
 
 
 def dynamic_importlib(sstr: str) -> Any:

@@ -1,0 +1,230 @@
+#!/usr/bin/env python
+"""Data-parallel SPMD trainer over a jax device mesh.
+
+Parity surface: /root/reference/aps/trainer/ddp.py (DdpTrainer:22,
+train_one_step:124) + hvd.py + apex.py — all three collapse into this one
+trainer: XLA inserts the gradient all-reduce (riding ICI) when the batch is
+sharded over the "data" mesh axis, so there is no NCCL/DDP wrapper, no
+no_sync() bookkeeping and no loss-consistency check to run by hand.
+
+Mechanics:
+  * one jitted value_and_grad step per input-shape bucket (donated params)
+  * optax chain: clip_by_global_norm -> optimizer (lr=1), scaled by the
+    host-scheduled lr passed in as a traced scalar (no recompiles)
+  * gradient accumulation via optax.MultiSteps
+  * non-finite loss/grad-norm steps are skipped on-device (params kept)
+  * batches whose size divides the mesh are sharded, others replicated
+"""
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aps_tpu.libs import ApsRegisters
+from aps_tpu.parallel import build_mesh, data_sharding, replicate_sharding
+from aps_tpu.trainer.base import Trainer
+
+OPTIMIZERS = {
+    "sgd": lambda kw: optax.sgd(1.0, momentum=kw.get("momentum", 0) or None,
+                                nesterov=kw.get("nesterov", False)),
+    "adam": lambda kw: optax.adam(1.0, b1=kw.get("beta1", 0.9),
+                                  b2=kw.get("beta2", 0.999),
+                                  eps=kw.get("eps", 1e-8)),
+    "adamw": lambda kw: optax.adamw(
+        1.0, b1=kw.get("beta1", 0.9), b2=kw.get("beta2", 0.999),
+        eps=kw.get("eps", 1e-8), weight_decay=kw.get("weight_decay", 1e-2)),
+    "adamax": lambda kw: optax.adamax(1.0),
+    "adadelta": lambda kw: optax.adadelta(1.0, rho=kw.get("rho", 0.9)),
+    "adagrad": lambda kw: optax.adagrad(1.0),
+    "rmsprop": lambda kw: optax.rmsprop(1.0, decay=kw.get("alpha", 0.99),
+                                        momentum=kw.get("momentum", 0)),
+    "noam_adam": lambda kw: optax.adam(1.0, b1=kw.get("beta1", 0.9),
+                                       b2=kw.get("beta2", 0.98),
+                                       eps=kw.get("eps", 1e-9)),
+}
+
+RNG_COLLECTIONS = ("aug", "dropout", "ss")
+
+
+@ApsRegisters.trainer.register("dp")
+class DataParallelTrainer(Trainer):
+
+    def __init__(self, task, **kwargs):
+        super(DataParallelTrainer, self).__init__(task, **kwargs)
+        self.mesh = build_mesh()
+        self.ndev = self.mesh.devices.size
+        self.params = None
+        self.opt_state = None
+        self.reporter.log(
+            f"Mesh: {self.ndev} devices {self.mesh.shape} "
+            f"({jax.devices()[0].platform})")
+        # base optimizer (lr folded out, scheduled on host)
+        if self.optimizer_name not in OPTIMIZERS:
+            raise ValueError(f"Unsupported optimizer: {self.optimizer_name}")
+        base = OPTIMIZERS[self.optimizer_name](self.optimizer_kwargs)
+        chain = [base]
+        if self.clip_gradient:
+            chain = [optax.clip_by_global_norm(self.clip_gradient)] + chain
+        tx = optax.chain(*chain)
+        if self.acmu_gradient > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=self.acmu_gradient)
+        self.tx = tx
+        self._rng = jax.random.PRNGKey(self.seed)
+        self._step_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------------
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _device_egs(self, egs: Dict) -> Dict:
+        """Shard arrays over "data" when divisible, else replicate."""
+        out = {}
+        for k, v in egs.items():
+            if isinstance(v, (np.ndarray, jax.Array)) and getattr(
+                    v, "ndim", 0) > 0:
+                if v.shape[0] % self.ndev == 0:
+                    out[k] = jax.device_put(v, data_sharding(self.mesh,
+                                                             v.ndim))
+                else:
+                    out[k] = jax.device_put(v, replicate_sharding(self.mesh))
+            elif isinstance(v, (int, float, np.integer, np.floating)):
+                # keep scalars (like #utt/#tok) on host: not part of compute
+                out[k] = v
+            else:
+                out[k] = v
+        return out
+
+    def _split_egs(self, egs: Dict):
+        """(host_stats, device_arrays) split."""
+        host = {k: v for k, v in egs.items() if not isinstance(
+            v, (np.ndarray, jax.Array, list))}
+        dev = {k: v for k, v in egs.items() if k not in host}
+        return host, dev
+
+    # ------------------------------------------------------------------
+    def init_state(self, egs: Dict) -> None:
+        if self.params is not None:
+            return
+        _, dev_egs = self._split_egs(egs)
+        rngs = {"params": self._next_rng()}
+        for name in RNG_COLLECTIONS:
+            rngs[name] = self._next_rng()
+        variables = self.task.init(rngs, dev_egs, training=True)
+        params = variables["params"]
+        # restore / warm start
+        if self.cpt_stats is not None:
+            loaded = self.cpt_stats["params"]
+            if self.init_mode == "init":
+                params = _merge_params(params, loaded, self.reporter.log)
+            else:
+                params = jax.tree_util.tree_map(jnp.asarray, loaded)
+        repl = replicate_sharding(self.mesh)
+        self.params = jax.device_put(params, repl)
+        if self.cpt_stats is not None and self.init_mode == "resume" and \
+                "opt_state" in self.cpt_stats:
+            self.opt_state = jax.device_put(self.cpt_stats["opt_state"], repl)
+        else:
+            self.opt_state = jax.device_put(self.tx.init(self.params), repl)
+        num_params = sum(
+            np.prod(p.shape)
+            for p in jax.tree_util.tree_leaves(self.params)) / 1e6
+        self.num_params = float(num_params)
+        self.reporter.log(f"#param: {self.num_params:.2f}M")
+        self._build_steps()
+
+    def _build_steps(self):
+        task = self.task
+
+        def train_step(params, opt_state, egs, lr, ssr, rng):
+            keys = jax.random.split(rng, len(RNG_COLLECTIONS))
+            rngs = dict(zip(RNG_COLLECTIONS, keys))
+            egs = dict(egs)
+            egs["#ssr"] = ssr
+
+            def loss_fn(p):
+                out = task.apply({"params": p}, egs, training=True,
+                                 rngs=rngs)
+                return out["loss"], out
+
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grad_norm = optax.global_norm(grads)
+            finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+            new_params = optax.apply_updates(params, updates)
+            select = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(finite, x, y), a, b)
+            new_params = select(new_params, params)
+            new_opt = select(new_opt, opt_state)
+            stats = dict(out)
+            stats["norm"] = grad_norm
+            return new_params, new_opt, stats, finite
+
+        def eval_step(params, egs):
+            return task.apply({"params": params}, egs, training=False)
+
+        self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_fn = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+    def checkpoint_states(self, epoch: int) -> Dict:
+        stats = super(DataParallelTrainer, self).checkpoint_states(epoch)
+        stats["params"] = jax.tree_util.tree_map(np.asarray, self.params)
+        stats["opt_state"] = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+            self.opt_state)
+        return stats
+
+    # ------------------------------------------------------------------
+    def train_one_step(self, egs: Dict) -> bool:
+        host, dev = self._split_egs(egs)
+        dev = self._device_egs(dev)
+        lr = jnp.float32(self.lr_scheduler.get_lr())
+        ssr = jnp.float32(self.ssr)
+        self.params, self.opt_state, stats, finite = self._step_fn(
+            self.params, self.opt_state, dev, lr, ssr, self._next_rng())
+        ok = bool(finite)
+        stats = dict(stats)
+        stats["rate"] = self.lr_scheduler.get_lr()
+        self.reporter.update(host)
+        self.reporter.update(stats)
+        if not ok:
+            self.reporter.log(
+                f"Step {self.cur_step}: non-finite loss/grad, skipped")
+        return ok
+
+    def valid_one_step(self, egs: Dict) -> None:
+        host, dev = self._split_egs(egs)
+        dev = self._device_egs(dev)
+        stats = self._eval_fn(self.params, dev)
+        self.reporter.update(host)
+        self.reporter.update(stats)
+
+
+def _merge_params(init_params, loaded, log):
+    """strict=False warm start: copy where path+shape matches."""
+    flat_init = jax.tree_util.tree_flatten_with_path(init_params)[0]
+    flat_loaded = dict(
+        jax.tree_util.tree_flatten_with_path(loaded)[0])
+    merged = {}
+    num = 0
+    for path, value in flat_init:
+        if path in flat_loaded and flat_loaded[path].shape == value.shape:
+            merged[path] = jnp.asarray(flat_loaded[path])
+            num += 1
+        else:
+            merged[path] = value
+    log(f"Warm start: loaded {num}/{len(flat_init)} parameter tensors")
+    # rebuild pytree
+    treedef = jax.tree_util.tree_structure(init_params)
+    leaves = [merged[path] for path, _ in flat_init]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,171 @@
+"""Trainer tests: end-to-end ToyRNN + sisnr on synthetic data, checkpoint
+resume, lr/ss schedulers, multi-device sharded step."""
+
+import numpy as np
+import pytest
+
+from aps_tpu.libs import aps_sse_nnet, aps_task, aps_trainer
+from aps_tpu.transform import EnhTransform
+
+
+class SyntheticSSELoader(object):
+    """In-memory loader emitting sisnr-style egs; target = clean signal,
+    mix = clean + noise, so a mask model can reduce the loss."""
+
+    def __init__(self, num_batches=4, batch=8, samples=8192, num_spks=2,
+                 seed=0):
+        rng = np.random.default_rng(seed)
+        self.batches = []
+        for _ in range(num_batches):
+            t = np.linspace(0, 1, samples, dtype=np.float32)
+            refs = [
+                np.stack([
+                    np.sin(2 * np.pi * rng.uniform(100, 400) * t)
+                    for _ in range(batch)
+                ]).astype(np.float32) for _ in range(num_spks)
+            ]
+            mix = sum(refs) + 0.05 * rng.standard_normal(
+                (batch, samples)).astype(np.float32)
+            self.batches.append({
+                "#utt": batch,
+                "mix": mix,
+                "ref": refs,
+            })
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def build_task():
+    transform = EnhTransform(feats="spectrogram-log-cmvn", frame_len=512,
+                             frame_hop=256)
+    nnet = aps_sse_nnet("sse@base_rnn")(enh_transform=transform,
+                                        input_size=257,
+                                        num_bins=257,
+                                        num_spks=2,
+                                        hidden=32,
+                                        num_layers=1,
+                                        bidirectional=True,
+                                        training_mode="time")
+    return aps_task("sse@sisnr", nnet, num_spks=2)
+
+
+def make_trainer(tmp_path, task, **kwargs):
+    cls = aps_trainer("dp")
+    base = dict(checkpoint=str(tmp_path / "cpt"),
+                optimizer="adam",
+                optimizer_kwargs={"lr": 1e-3},
+                lr_scheduler="reduce_lr",
+                lr_scheduler_kwargs={"factor": 0.5, "patience": 2},
+                clip_gradient=5.0,
+                prog_interval=2,
+                no_impr=10,
+                reduction_tag="#utt")
+    base.update(kwargs)
+    return cls(task, **base)
+
+
+def test_trainer_loss_decreases(tmp_path):
+    task = build_task()
+    trainer = make_trainer(tmp_path, task)
+    trn = SyntheticSSELoader(num_batches=6, batch=8)
+    dev = SyntheticSSELoader(num_batches=2, batch=8, seed=1)
+    trainer.run(trn, dev, num_epochs=3)
+    # check checkpoints written
+    assert (tmp_path / "cpt" / "last.ckpt").exists()
+    assert (tmp_path / "cpt" / "best.ckpt").exists()
+    # loss should have improved vs the initial validation pass
+    assert trainer.stop_detector.best < trainer.init_value
+
+
+def test_trainer_resume(tmp_path):
+    task = build_task()
+    trainer = make_trainer(tmp_path, task)
+    trn = SyntheticSSELoader(num_batches=2, batch=8)
+    dev = SyntheticSSELoader(num_batches=1, batch=8, seed=1)
+    trainer.run(trn, dev, num_epochs=1)
+    step1 = trainer.cur_step
+    # new trainer auto-resumes from last.ckpt
+    task2 = build_task()
+    trainer2 = make_trainer(tmp_path, task2)
+    assert trainer2.cur_epoch == 1
+    trainer2.run(trn, dev, num_epochs=2)
+    assert trainer2.cur_step > step1
+
+
+def test_trainer_grad_accumulation(tmp_path):
+    task = build_task()
+    trainer = make_trainer(tmp_path, task, acmu_gradient=2)
+    trn = SyntheticSSELoader(num_batches=4, batch=8)
+    dev = SyntheticSSELoader(num_batches=1, batch=8, seed=1)
+    trainer.run(trn, dev, num_epochs=1)
+    assert (tmp_path / "cpt" / "last.ckpt").exists()
+
+
+def test_trainer_sharded_batch(tmp_path):
+    """Batch of 8 on an 8-device CPU mesh: the step must shard over 'data'."""
+    import jax
+    assert jax.device_count() == 8
+    task = build_task()
+    trainer = make_trainer(tmp_path, task)
+    trn = SyntheticSSELoader(num_batches=2, batch=8)
+    dev = SyntheticSSELoader(num_batches=1, batch=8, seed=1)
+    trainer.run(trn, dev, num_epochs=1)
+    # params should remain replicated
+    leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("name,kwargs,probe", [
+    ("warmup_noam_lr", {"att_dim": 64, "warmup": 10}, None),
+    ("warmup_exp_decay_lr",
+     {"time_stamps": [5, 10, 50], "peak_lr": 1e-3, "stop_lr": 1e-5}, None),
+    ("warmup_linear_decay_lr",
+     {"time_stamps": [5, 10, 50], "peak_lr": 1e-3, "stop_lr": 1e-8}, None),
+    ("warmup_cos_decay_lr",
+     {"time_stamps": [5, 10, 50], "peak_lr": 1e-3, "stop_lr": 1e-8}, None),
+    ("warmup_power_decay_lr",
+     {"time_stamps": [5, 10, 50], "peak_lr": 1e-3, "stop_lr": 1e-8}, None),
+    ("step_lr", {"step_size": 10, "gamma": 0.1}, None),
+    ("multi_step_lr", {"milestones": [10, 20], "gamma": 0.1}, None),
+])
+def test_lr_schedulers(name, kwargs, probe):
+    from aps_tpu.trainer.lr import LrScheduler
+    sched = LrScheduler[name](lr=1e-3, **kwargs)
+    lrs = []
+    for _ in range(60):
+        lrs.append(sched.get_lr())
+        sched.step()
+    assert all(np.isfinite(lr) and lr >= 0 for lr in lrs)
+    if name.startswith("warmup"):
+        # lr ramps up then decays
+        peak_idx = int(np.argmax(lrs))
+        assert peak_idx <= 10
+        assert lrs[-1] <= max(lrs)
+
+
+def test_reduce_lr_on_plateau():
+    from aps_tpu.trainer.lr import LrScheduler
+    sched = LrScheduler["reduce_lr"](lr=1e-3, factor=0.5, patience=1,
+                                     mode="min")
+    sched.step(1.0)
+    sched.step(1.0)  # no improvement 1
+    sched.step(1.0)  # no improvement 2 -> reduce
+    assert sched.get_lr() == pytest.approx(5e-4)
+
+
+def test_ss_schedulers():
+    from aps_tpu.trainer.ss import SsScheduler
+    assert SsScheduler["const"](ssr=0.2).step(5, 0) == 0.2
+    lin = SsScheduler["linear"](ssr=0.4, epochs=[2, 6])
+    vals = [lin.step(e, 0) for e in range(8)]
+    assert vals[0] == 0 and vals[-1] == pytest.approx(0.4)
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    trig = SsScheduler["trigger"](ssr=0.3, trigger=0.5)
+    assert trig.step(1, 0.4) == 0 and trig.step(1, 0.6) == 0.3
