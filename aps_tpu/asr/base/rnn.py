@@ -34,13 +34,15 @@ class SingleRNN(nn.Module):
     bidirectional: bool = False
 
     @nn.compact
-    def __call__(self, inp: jnp.ndarray, training: bool = False):
+    def __call__(self, inp: jnp.ndarray, inp_len=None,
+                 training: bool = False):
         fwd = nn.RNN(_cell(self.rnn_type, self.hidden), name="fwd")
-        out = fwd(inp)
+        out = fwd(inp, seq_lengths=inp_len)
         if self.bidirectional:
             bwd = nn.RNN(_cell(self.rnn_type, self.hidden), name="bwd",
                          reverse=True, keep_order=True)
-            out = jnp.concatenate([out, bwd(inp)], axis=-1)
+            out = jnp.concatenate([out, bwd(inp, seq_lengths=inp_len)],
+                                  axis=-1)
         return out
 
 
@@ -57,14 +59,16 @@ class StackedRNN(nn.Module):
     layer_norm: bool = False
 
     @nn.compact
-    def __call__(self, inp: jnp.ndarray, training: bool = False):
+    def __call__(self, inp: jnp.ndarray, inp_len=None,
+                 training: bool = False):
         if self.input_proj > 0:
             inp = nn.Dense(self.input_proj, name="input_proj")(inp)
         out = inp
         for i in range(self.num_layers):
             out = SingleRNN(self.hidden, rnn_type=self.rnn_type,
                             bidirectional=self.bidirectional,
-                            name=f"layer_{i}")(out, training=training)
+                            name=f"layer_{i}")(out, inp_len=inp_len,
+                                               training=training)
             if self.hidden_proj > 0:
                 out = jnp.tanh(
                     nn.Dense(self.hidden_proj, name=f"proj_{i}")(out))
@@ -100,28 +104,39 @@ class StackedLSTMWithState(nn.Module):
     num_layers: int = 2
     dropout: float = 0.0
     rnn_type: str = "lstm"
+    layer_norm: bool = False
+    proj_size: int = -1
 
-    def _cells(self):
-        return [
-            _cell(self.rnn_type, self.hidden) for _ in range(self.num_layers)
-        ]
+    def init_state(self, batch: int):
+        """Zero carried state (lstm: (c, h) per layer; gru/rnn: h)."""
+        if self.rnn_type.lower() == "lstm":
+            one = lambda: (jnp.zeros((batch, self.hidden)),
+                           jnp.zeros((batch, self.hidden)))
+        else:
+            one = lambda: jnp.zeros((batch, self.hidden))
+        return tuple(one() for _ in range(self.num_layers))
+
+    @property
+    def output_size(self) -> int:
+        return self.proj_size if self.proj_size > 0 else self.hidden
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray, state=None, training: bool = False):
         N = inp.shape[0]
+        if state is None:
+            state = self.init_state(N)
         new_state = []
         out = inp
         for i in range(self.num_layers):
             cell = _cell(self.rnn_type, self.hidden)
             layer = nn.RNN(cell, name=f"layer_{i}", return_carry=True)
-            if state is None:
-                carry = cell.initialize_carry(
-                    jax.random.PRNGKey(0), out[:, 0].shape)
-            else:
-                carry = state[i]
-            carry, out = layer(out, initial_carry=carry)
+            carry, out = layer(out, initial_carry=state[i])
             new_state.append(carry)
+            if self.proj_size > 0:
+                out = nn.Dense(self.proj_size, name=f"proj_{i}")(out)
             if self.dropout > 0 and i != self.num_layers - 1:
                 out = nn.Dropout(self.dropout, deterministic=not training,
                                  rng_collection="dropout")(out)
+            if self.layer_norm:
+                out = nn.LayerNorm(name=f"ln_{i}")(out)
         return out, tuple(new_state)
