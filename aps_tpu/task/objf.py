@@ -24,7 +24,7 @@ def ce_objf(outs: jnp.ndarray,
     outs: N x T x V logits, tgts: N x T -> scalar."""
     N, _, V = outs.shape
     mask = tgts != IGNORE_ID
-    tgts_safe = jnp.where(mask, tgts, 0)
+    tgts_safe = jnp.clip(jnp.where(mask, tgts, 0), 0, V - 1)
     logp = jax.nn.log_softmax(outs, axis=-1)
     nll = -jnp.take_along_axis(logp, tgts_safe[..., None], axis=-1)[..., 0]
     loss = jnp.sum(nll * mask)
@@ -43,7 +43,7 @@ def ls_objf(outs: jnp.ndarray,
         raise ValueError(f"Unknown label smoothing method: {method}")
     N, _, V = outs.shape
     mask = tgts != IGNORE_ID
-    tgts_safe = jnp.where(mask, tgts, 0)
+    tgts_safe = jnp.clip(jnp.where(mask, tgts, 0), 0, V - 1)
     if method == "uniform":
         dist = jnp.full(outs.shape, lsm_factor / (V - 1))
     else:
