@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""CTC decoding: prefix beam search, viterbi alignment, and the vectorized
+CTC prefix scorer used in joint CTC/attention beam search.
+
+Parity surface: /root/reference/aps/asr/beam_search/ctc.py (CtcApi:32
+beam_search/viterbi_align, CtcScorer:200 — the eq. 51-53 gamma recursions
+from "Hybrid CTC/Attention Architecture for End-to-End Speech Recognition").
+
+TPU design: CtcScorer keeps (gamma_n, gamma_b) as T x B arrays and advances
+all candidate extensions of all beams in ONE lax.scan over frames — it runs
+inside the jitted beam-search loop. The standalone prefix beam search (for
+encoder-only CTC models) runs on host numpy over the device-computed
+posteriors (the model forward dominates its runtime)."""
+
+from collections import defaultdict
+from typing import Dict, List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aps_tpu.const import MIN_F32
+from aps_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class CtcScoreState(NamedTuple):
+    """Carried state of the prefix scorer (per beam)."""
+    gamma_n: jnp.ndarray  # T x B
+    gamma_b: jnp.ndarray  # T x B
+    score: jnp.ndarray    # B
+
+
+class CtcScorer(object):
+    """Functional CTC prefix scorer. blank = V - 1 (appended id)."""
+
+    def __init__(self, ctc_prob: jnp.ndarray, eos: int,
+                 beam_size: int) -> None:
+        """ctc_prob: T x V logits."""
+        self.logp = jax.nn.log_softmax(ctc_prob, axis=-1)
+        self.T, self.V = self.logp.shape
+        self.eos = eos
+        self.blank = self.V - 1
+        self.beam = beam_size
+
+    def init_state(self) -> CtcScoreState:
+        gamma_n = jnp.full((self.T, self.beam), MIN_F32)
+        gamma_b0 = jnp.cumsum(self.logp[:, self.blank])
+        gamma_b = jnp.tile(gamma_b0[:, None], (1, self.beam))
+        return CtcScoreState(gamma_n, gamma_b,
+                             jnp.zeros((self.beam,)))
+
+    def __call__(self, state: CtcScoreState, last_tok: jnp.ndarray,
+                 cand: jnp.ndarray, is_first) -> Tuple[jnp.ndarray,
+                                                       CtcScoreState]:
+        """Score extensions.
+        state: per-beam gammas; last_tok: B (last token of each prefix);
+        cand: B x C candidate tokens; is_first: scalar bool (prefix empty).
+        Returns (delta_score B x C, new state stacked as B*C for later
+        gather via update_var)."""
+        B, C = cand.shape
+        # expand to (T, B, C)
+        g_n = jnp.repeat(state.gamma_n[:, :, None], C, axis=2)
+        g_b = jnp.repeat(state.gamma_b[:, :, None], C, axis=2)
+        # log p(t, cand): T x B x C
+        p_c = self.logp[:, cand]
+        p_blank = self.logp[:, self.blank]
+        repeat_ok = last_tok[:, None] != cand  # B x C
+
+        init_n = jnp.where(is_first, p_c[0], MIN_F32)
+        init_b = jnp.full((B, C), MIN_F32)
+        score0 = init_n
+
+        def step(carry, inputs):
+            n_prev, b_prev, score = carry
+            g_n_t1, g_b_t1, p_c_t, p_blank_t = inputs
+            term = jnp.where(repeat_ok, g_n_t1, MIN_F32)
+            phi = jnp.logaddexp(g_b_t1, term)
+            n_cur = jnp.logaddexp(n_prev, phi) + p_c_t
+            b_cur = jnp.logaddexp(b_prev, n_prev) + p_blank_t
+            score = jnp.logaddexp(score, phi + p_c_t)
+            return (n_cur, b_cur, score), (n_cur, b_cur)
+
+        xs = (g_n[:-1], g_b[:-1], p_c[1:],
+              jnp.tile(p_blank[1:, None, None], (1, B, C)))
+        (n_T, b_T, score), (n_all, b_all) = jax.lax.scan(
+            step, (init_n, init_b, score0), xs)
+        # prepend t = 0 row
+        gamma_n_h = jnp.concatenate([init_n[None], n_all], axis=0)
+        gamma_b_h = jnp.concatenate([init_b[None], b_all], axis=0)
+        # eos candidates: score = full-prefix probability
+        full_prefix = jnp.logaddexp(state.gamma_b[-1], state.gamma_n[-1])
+        score = jnp.where(cand == self.eos, full_prefix[:, None], score)
+        delta = score - state.score[:, None]
+        flat = lambda x: x.reshape(self.T, B * C)
+        new_state = CtcScoreState(flat(gamma_n_h), flat(gamma_b_h),
+                                  score.reshape(B * C))
+        return delta, new_state
+
+    def update_var(self, state: CtcScoreState,
+                   flat_index: jnp.ndarray) -> CtcScoreState:
+        """Gather the B surviving beams from the B*C stacked state."""
+        return CtcScoreState(state.gamma_n[:, flat_index],
+                             state.gamma_b[:, flat_index],
+                             state.score[flat_index])
+
+
+class CtcApi(object):
+    """Standalone CTC decoding: prefix beam search & viterbi align."""
+
+    def __init__(self, blank: int):
+        assert blank >= 0
+        self.blank = blank
+
+    def beam_search(self,
+                    ctc_prob,
+                    beam_size: int = 8,
+                    nbest: int = 1,
+                    sos: int = -1,
+                    eos: int = -1,
+                    len_norm: bool = True,
+                    **kwargs) -> List[Dict]:
+        """Prefix beam search over T x V logits (host loop)."""
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(ctc_prob), -1))
+        T, V = logp.shape
+        k = min(beam_size, V)
+        topk_token = np.argpartition(-logp, k - 1, axis=-1)[:, :k]
+        neg_inf = MIN_F32
+        # prefix -> (log_pb, log_pn)
+        prev_beam = {(sos,): (0.0, neg_inf)}
+        for t in range(T):
+            next_beam = defaultdict(lambda: [neg_inf, neg_inf])
+            for prefix, (pb, pn) in prev_beam.items():
+                total = np.logaddexp(pb, pn)
+                for symb in topk_token[t]:
+                    logp_t = logp[t, symb]
+                    if symb == self.blank:
+                        entry = next_beam[prefix]
+                        entry[0] = np.logaddexp(entry[0], total + logp_t)
+                    else:
+                        new_prefix = prefix + (int(symb),)
+                        entry = next_beam[new_prefix]
+                        if prefix[-1] == symb:
+                            entry[1] = np.logaddexp(entry[1], pb + logp_t)
+                            # repeated symbol merging into the same prefix
+                            same = next_beam[prefix]
+                            same[1] = np.logaddexp(same[1], pn + logp_t)
+                        else:
+                            entry[1] = np.logaddexp(entry[1], total + logp_t)
+            ranked = sorted(next_beam.items(),
+                            key=lambda kv: np.logaddexp(kv[1][0], kv[1][1]),
+                            reverse=True)[:beam_size]
+            prev_beam = dict(ranked)
+        hyps = [{
+            "score": float(np.logaddexp(pb, pn)) /
+                     (max(len(p) - 1, 1) if len_norm else 1),
+            "trans": list(p) + [eos],
+        } for p, (pb, pn) in prev_beam.items()]
+        return sorted(hyps, key=lambda h: h["score"], reverse=True)[:nbest]
+
+    def viterbi_align(self, ctc_enc, dec_seq) -> Dict:
+        """Forced alignment: T x V logits + label sequence U ->
+        {score, align (T frame labels, blank = self.blank)}."""
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(ctc_enc), -1))
+        seq = [int(t) for t in np.asarray(dec_seq)]
+        T, V = logp.shape
+        U = len(seq)
+        if U * 2 + 1 > T:
+            raise ValueError(f"Invalid target length: {U}")
+        # extended sequence: blank t1 blank t2 ... blank
+        ext = [self.blank]
+        for s in seq:
+            ext += [s, self.blank]
+        L = len(ext)
+        score = np.full((T, L), MIN_F32)
+        back = np.zeros((T, L), dtype=np.int64)
+        score[0, 0] = logp[0, ext[0]]
+        if L > 1:
+            score[0, 1] = logp[0, ext[1]]
+        for t in range(1, T):
+            for l in range(L):
+                cands = [score[t - 1, l]]
+                if l > 0:
+                    cands.append(score[t - 1, l - 1])
+                if l > 1 and ext[l] != self.blank and ext[l] != ext[l - 2]:
+                    cands.append(score[t - 1, l - 2])
+                best = int(np.argmax(cands))
+                score[t, l] = cands[best] + logp[t, ext[l]]
+                back[t, l] = l - best
+        # final state: L-1 (blank) or L-2 (last label)
+        ends = [L - 1, L - 2] if L > 1 else [0]
+        end = max(ends, key=lambda l: score[T - 1, l])
+        align = []
+        l = end
+        for t in range(T - 1, -1, -1):
+            align.append(ext[l])
+            l = back[t, l]
+        align = align[::-1]
+        return {"score": float(score[T - 1, end]), "align": align}

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Vectorized beam search for transformer-decoder AMs.
+
+Parity surface: /root/reference/aps/asr/beam_search/transformer.py
+(greedy_search:21, beam_search:104, beam_search_batch:197).
+
+The decoder is stateless over a prefix, so each step rescores the padded
+K x (L+1) token buffer under a causal mask and reads position t — fixed
+shapes, one compiled lax.while_loop (KV caching is a later optimization)."""
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from aps_tpu.asr.beam_search.ctc import CtcScorer
+from aps_tpu.asr.beam_search.lm import LmAdapter
+from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
+                                           apply_eos_threshold, disable_unk,
+                                           extract_nbest, init_beam_state,
+                                           mask_finished_scores)
+from aps_tpu.const import MIN_F32
+
+
+def _param_from_kwargs(sos, eos, **kwargs) -> BeamSearchParam:
+    fields = BeamSearchParam.__dataclass_fields__
+    return BeamSearchParam(
+        sos=sos, eos=eos,
+        **{k: v for k, v in kwargs.items() if k in fields})
+
+
+def beam_search(nnet,
+                variables,
+                x: jnp.ndarray,
+                lm: Optional[LmAdapter] = None,
+                sos: int = -1,
+                eos: int = -1,
+                beam_size: int = 8,
+                nbest: int = 1,
+                max_len: int = -1,
+                **kwargs) -> List[Dict]:
+    param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
+    enc_out, enc_len, ctc_out = nnet.apply(variables, x[None],
+                                           method="decode_enc")
+    T = enc_out.shape[1]
+    if max_len <= 0:
+        max_len = min(param.max_len, T)
+    max_len = min(max_len, param.max_len)
+
+    K = param.beam_size
+    enc_tiled = jnp.tile(enc_out[0][None], (K, 1, 1))
+    use_ctc = param.ctc_weight > 0 and ctc_out is not None
+    scorer = CtcScorer(ctc_out[0], eos=param.eos, beam_size=K) if use_ctc \
+        else None
+    state0 = init_beam_state(K, max_len, param.sos, T)
+    lm_state0 = lm.init_state(K) if lm is not None else None
+    ctc_state0 = scorer.init_state() if use_ctc else None
+
+    def dec_logits(tokens_buf, t):
+        """Score the buffer, return logits at position t: K x V."""
+        dec_out = nnet.apply(variables, enc_tiled, tokens_buf,
+                             method="decode_step")
+        return jnp.take_along_axis(
+            dec_out, jnp.full((K, 1, 1), t, dtype=jnp.int32),
+            axis=1)[:, 0]
+
+    def cond(loop):
+        t, state, *_ = loop
+        return (t < max_len) & ~jnp.all(state.done)
+
+    def body(loop):
+        t, state, lm_state, ctc_state = loop
+        tok_prev = state.tokens[:, t]
+        pred = dec_logits(state.tokens, t)
+        am_prob = jax.nn.log_softmax(pred / param.temperature, -1)
+        V = am_prob.shape[-1]
+        lm_prob = 0.0
+        if lm is not None:
+            lm_prob, lm_state = lm.step(lm_state, tok_prev, t)
+        if use_ctc:
+            C = min(param.ctc_beam_size, V)
+            att_score, cand = jax.lax.top_k(am_prob, C)
+            cand = jnp.where(state.done[:, None],
+                             jnp.full_like(cand, param.eos), cand)
+            delta, ctc_state_x = scorer(ctc_state, tok_prev, cand, t == 0)
+            fusion = att_score * (1 - param.ctc_weight) + \
+                delta * param.ctc_weight
+            if lm is not None:
+                fusion = fusion + param.lm_weight * jnp.take_along_axis(
+                    lm_prob, cand, -1)
+            fusion = jnp.where(
+                state.done[:, None],
+                jnp.where(jnp.arange(C)[None, :] == 0, 0.0, MIN_F32),
+                fusion)
+            total = state.score[:, None] + fusion
+            flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
+            beam_idx = flat_idx // C
+            tok = cand[beam_idx, flat_idx % C]
+            ctc_state = scorer.update_var(ctc_state_x, flat_idx)
+        else:
+            fusion = am_prob + param.lm_weight * lm_prob
+            fusion = disable_unk(fusion, param.unk)
+            fusion = apply_eos_threshold(fusion, param.eos,
+                                         param.eos_threshold)
+            fusion = mask_finished_scores(fusion, state.done, param.eos)
+            total = state.score[:, None] + fusion
+            flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
+            beam_idx = flat_idx // V
+            tok = flat_idx % V
+        prev_done = state.done[beam_idx]
+        tokens = state.tokens[beam_idx]
+        tokens = tokens.at[:, t + 1].set(
+            jnp.where(prev_done, tokens[:, t + 1], tok))
+        length = state.length[beam_idx] + (~prev_done).astype(jnp.int32)
+        done = prev_done | (tok == param.eos)
+        state = BeamState(tokens=tokens, score=flat_score, done=done,
+                          length=length,
+                          coverage=state.coverage[beam_idx])
+        if lm is not None:
+            lm_state = lm.reorder(lm_state, beam_idx)
+        return t + 1, state, lm_state, ctc_state
+
+    loop0 = (0, state0, lm_state0, ctc_state0)
+    _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
+    return extract_nbest(jax.device_get(final_state), param, nbest,
+                         final=True)
+
+
+def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs):
+    return beam_search(nnet, variables, x, sos=sos, eos=eos, beam_size=1,
+                       nbest=1, **kwargs)
+
+
+def beam_search_batch(nnet, variables, batch, sos=-1, eos=-1, **kwargs):
+    return [
+        beam_search(nnet, variables, x, sos=sos, eos=eos, **kwargs)
+        for x in batch
+    ]

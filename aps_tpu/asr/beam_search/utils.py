@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Beam search data structures shared across att/transformer/transducer.
+
+Parity surface: /root/reference/aps/asr/beam_search/utils.py
+(BeamSearchParam:21, BeamTracker:239, BatchBeamTracker:477).
+
+TPU design: the reference's BeamTracker mutates python lists per step; here
+the whole beam lives in ONE dense state pytree (BeamState) advanced inside a
+compiled lax loop with fixed shapes:
+  tokens  K x (L+1)  decoded ids (sos at column 0)
+  score   K          accumulated log-prob (frozen once ended)
+  done    K          ended-with-eos flags
+  length  K          #emitted tokens (eos included once ended)
+Finished hypotheses stay in the beam with a forced eos-only continuation, so
+the final beam IS the nbest list — no host-side hypothesis pool."""
+
+from dataclasses import dataclass
+from typing import Dict, List, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from aps_tpu.const import MIN_F32, NEG_INF
+
+
+@dataclass
+class BeamSearchParam(object):
+    """Knobs of the beam search (names match the reference)."""
+    beam_size: int = 8
+    sos: int = 1
+    eos: int = 2
+    unk: int = -1
+    min_len: int = 1
+    max_len: int = 1000
+    lm_weight: float = 0
+    eos_threshold: float = 0
+    len_penalty: float = 0
+    cov_method: str = "v1"
+    cov_penalty: float = 0
+    cov_threshold: float = 0.5
+    len_norm: bool = True
+    temperature: float = 1
+    allow_partial: bool = False
+    end_detect: bool = False
+    ctc_weight: float = 0
+    ctc_beam_size: int = 12
+
+
+class BeamState(NamedTuple):
+    tokens: jnp.ndarray   # K x L+1
+    score: jnp.ndarray    # K
+    done: jnp.ndarray     # K bool
+    length: jnp.ndarray   # K int32
+    coverage: jnp.ndarray  # K x T accumulated attention (or zeros)
+
+
+def init_beam_state(beam_size: int, max_len: int, sos: int,
+                    num_frames: int) -> BeamState:
+    tokens = jnp.full((beam_size, max_len + 1), sos, dtype=jnp.int32)
+    # only beam 0 is alive at step 0 (all start identical)
+    score = jnp.where(jnp.arange(beam_size) == 0, 0.0, MIN_F32)
+    return BeamState(tokens=tokens,
+                     score=score,
+                     done=jnp.zeros((beam_size,), dtype=bool),
+                     length=jnp.zeros((beam_size,), dtype=jnp.int32),
+                     coverage=jnp.zeros((beam_size, num_frames)))
+
+
+def mask_finished_scores(fusion: jnp.ndarray, done: jnp.ndarray,
+                         eos: int) -> jnp.ndarray:
+    """Finished beams may only 'emit' eos with 0 added score (freeze)."""
+    K, V = fusion.shape
+    frozen = jnp.full((V,), MIN_F32).at[eos].set(0.0)
+    return jnp.where(done[:, None], frozen[None, :], fusion)
+
+
+def apply_eos_threshold(fusion: jnp.ndarray, eos: int,
+                        eos_threshold: float) -> jnp.ndarray:
+    """Disable eos when its score < threshold * best non-eos score."""
+    if eos_threshold <= 0:
+        return fusion
+    eos_prob = fusion[:, eos]
+    non_eos = fusion.at[:, eos].set(MIN_F32)
+    best = jnp.max(non_eos, axis=-1)
+    disable = eos_prob < best * eos_threshold
+    return fusion.at[:, eos].set(jnp.where(disable, MIN_F32, eos_prob))
+
+
+def disable_unk(fusion: jnp.ndarray, unk: int) -> jnp.ndarray:
+    if unk < 0:
+        return fusion
+    return fusion.at[:, unk].set(MIN_F32)
+
+
+def coverage_score(state: BeamState, param: BeamSearchParam):
+    if param.cov_penalty <= 0:
+        return 0.0
+    if param.cov_method == "v2":
+        cov = jnp.log(jnp.minimum(state.coverage, param.cov_threshold))
+    else:
+        cov = (state.coverage > param.cov_threshold).astype(jnp.float32)
+    return param.cov_penalty * jnp.sum(cov, -1)
+
+
+def extract_nbest(state: BeamState, param: BeamSearchParam, nbest: int,
+                  final: bool = True) -> List[Dict]:
+    """Build the nbest hypothesis list from the final beam (host side)."""
+    tokens = np.asarray(state.tokens)
+    score = np.asarray(state.score)
+    done = np.asarray(state.done)
+    length = np.asarray(state.length)
+    cov = np.asarray(coverage_score(state, param)) \
+        if param.cov_penalty > 0 else np.zeros_like(score)
+    hyps = []
+    for k in range(tokens.shape[0]):
+        if score[k] <= MIN_F32 / 2:
+            continue
+        n = int(length[k])
+        if not done[k]:
+            if not (final and param.allow_partial) and not final:
+                continue
+        # trans = sos + tokens + eos
+        seq = [int(t) for t in tokens[k, :n + 1]]
+        if done[k]:
+            pass  # eos included in count: tokens[:, n] == eos
+        else:
+            seq = seq + [param.eos]
+        seq_len = max(len(seq) - 1, 1)
+        if seq_len < param.min_len + 1:
+            continue
+        s = float(score[k]) + seq_len * param.len_penalty + float(
+            np.atleast_1d(cov)[k] if param.cov_penalty > 0 else 0)
+        hyps.append({
+            "score": s / (seq_len if param.len_norm else 1),
+            "trans": seq,
+        })
+    hyps = sorted(hyps, key=lambda h: h["score"], reverse=True)
+    return hyps[:nbest]

@@ -1,0 +1,191 @@
+"""Beam search tests: greedy == beam(1), beam improves score, CTC prefix
+search, viterbi align, transducer search, LM fusion."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aps_tpu.libs import aps_asr_nnet
+from aps_tpu.transform import AsrTransform
+
+V, SOS, EOS = 20, 17, 18
+TRANSFORM = AsrTransform(feats="fbank-log-cmvn", frame_len=400,
+                         frame_hop=160)
+
+
+@pytest.fixture(scope="module")
+def att_model():
+    nnet = aps_asr_nnet("asr@att")(
+        input_size=80, vocab_size=V, sos=SOS, eos=EOS, ctc=True,
+        asr_transform=TRANSFORM, att_type="ctx", att_kwargs={"att_dim": 16},
+        enc_type="pytorch_rnn", enc_proj=32,
+        enc_kwargs={"hidden": 32, "num_layers": 1, "bidirectional": True},
+        dec_kwargs={"hidden": 32, "num_layers": 1})
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(8000) * 0.1, dtype=jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "aug": jax.random.PRNGKey(2), "ss": jax.random.PRNGKey(3)}
+    y = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = nnet.init(rngs, x[None], None, y, None, training=False)
+    return nnet, variables, x
+
+
+def test_greedy_equals_beam1(att_model):
+    from aps_tpu.asr.beam_search.att import beam_search, greedy_search
+    nnet, variables, x = att_model
+    g = greedy_search(nnet, variables, x, sos=SOS, eos=EOS, max_len=16)
+    b = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=1,
+                    nbest=1, max_len=16)
+    assert g[0]["trans"] == b[0]["trans"]
+    np.testing.assert_allclose(g[0]["score"], b[0]["score"], rtol=1e-5)
+
+
+def test_beam_improves_or_equals(att_model):
+    from aps_tpu.asr.beam_search.att import beam_search
+    nnet, variables, x = att_model
+    b1 = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=1,
+                     nbest=1, max_len=16, len_norm=False)
+    b8 = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=8,
+                     nbest=8, max_len=16, len_norm=False)
+    assert len(b8) >= 1
+    assert b8[0]["score"] >= b1[0]["score"] - 1e-4
+    # hypotheses all start with sos and end with eos
+    for h in b8:
+        assert h["trans"][0] == SOS and h["trans"][-1] == EOS
+    # scores sorted
+    scores = [h["score"] for h in b8]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_beam_with_ctc_weight(att_model):
+    from aps_tpu.asr.beam_search.att import beam_search
+    nnet, variables, x = att_model
+    hyp = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
+                      nbest=2, max_len=16, ctc_weight=0.4, ctc_beam_size=8)
+    assert len(hyp) >= 1
+    assert np.isfinite(hyp[0]["score"])
+
+
+def test_beam_with_rnn_lm(att_model):
+    from aps_tpu.asr.beam_search.att import beam_search
+    from aps_tpu.asr.beam_search.lm import lm_adapter
+    nnet, variables, x = att_model
+    lm = aps_asr_nnet("asr@rnn_lm")(vocab_size=V - 1, embed_size=8,
+                                    hidden_size=16, num_layers=1)
+    lm_vars = lm.init({"params": jax.random.PRNGKey(5)},
+                      jnp.zeros((1, 4), dtype=jnp.int32), training=False)
+    adapter = lm_adapter(lm, lm_vars)
+    hyp = beam_search(nnet, variables, x, lm=adapter, lm_weight=0.2,
+                      sos=SOS, eos=EOS, beam_size=4, nbest=1, max_len=12)
+    assert np.isfinite(hyp[0]["score"])
+
+
+def test_ctc_prefix_beam_search(rng):
+    from aps_tpu.asr.beam_search.ctc import CtcApi
+    T, vocab = 20, 8
+    blank = vocab - 1
+    logits = rng.standard_normal((T, vocab)).astype(np.float32) * 2
+    api = CtcApi(blank)
+    hyp = api.beam_search(logits, beam_size=4, nbest=2, sos=0, eos=1)
+    assert len(hyp) >= 1
+    assert hyp[0]["trans"][0] == 0 and hyp[0]["trans"][-1] == 1
+    # greedy collapse should roughly match 1-best tokens
+    assert np.isfinite(hyp[0]["score"])
+
+
+def test_ctc_viterbi_align(rng):
+    from aps_tpu.asr.beam_search.ctc import CtcApi
+    T, vocab = 20, 8
+    blank = vocab - 1
+    logits = rng.standard_normal((T, vocab)).astype(np.float32)
+    api = CtcApi(blank)
+    out = api.viterbi_align(logits, np.asarray([2, 3, 2]))
+    assert len(out["align"]) == T
+    # collapsed alignment equals the reference sequence
+    collapsed = []
+    prev = None
+    for a in out["align"]:
+        if a != blank and a != prev:
+            collapsed.append(a)
+        prev = a
+    assert collapsed == [2, 3, 2]
+
+
+def test_ctc_scorer_matches_full_prefix(rng):
+    """CtcScorer delta scores should sum to the CTC prefix probability."""
+    from aps_tpu.asr.beam_search.ctc import CtcScorer
+    T, vocab = 12, 6
+    logits = jnp.asarray(rng.standard_normal((T, vocab)), dtype=jnp.float32)
+    scorer = CtcScorer(logits, eos=1, beam_size=2)
+    state = scorer.init_state()
+    # extend prefix [] with token 2 for both beams
+    last = jnp.asarray([0, 0])
+    cand = jnp.asarray([[2, 3], [2, 3]])
+    delta, newstate = scorer(state, last, cand, True)
+    assert np.isfinite(np.asarray(delta)).all()
+    # both beams identical -> identical scores
+    np.testing.assert_allclose(np.asarray(delta[0]), np.asarray(delta[1]),
+                               rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def xfmr_model():
+    nnet = aps_asr_nnet("asr@xfmr")(
+        input_size=80, vocab_size=V, sos=SOS, eos=EOS, ctc=True,
+        asr_transform=TRANSFORM, enc_type="pytorch_rnn", enc_proj=32,
+        enc_kwargs={"hidden": 32, "num_layers": 1, "bidirectional": True},
+        dec_kwargs={"num_layers": 1,
+                    "arch_kwargs": {"att_dim": 32, "nhead": 4,
+                                    "feedforward_dim": 64}})
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal(8000) * 0.1, dtype=jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "aug": jax.random.PRNGKey(2), "ss": jax.random.PRNGKey(3)}
+    y = jnp.zeros((1, 4), dtype=jnp.int32)
+    variables = nnet.init(rngs, x[None], None, y, None, training=False)
+    return nnet, variables, x
+
+
+def test_xfmr_beam_search(xfmr_model):
+    from aps_tpu.asr.beam_search.transformer import beam_search, greedy_search
+    nnet, variables, x = xfmr_model
+    g = greedy_search(nnet, variables, x, sos=SOS, eos=EOS, max_len=12)
+    b = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
+                    nbest=2, max_len=12, len_norm=False)
+    assert g[0]["trans"][0] == SOS and g[0]["trans"][-1] == EOS
+    b1 = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=1,
+                     nbest=1, max_len=12, len_norm=False)
+    assert b[0]["score"] >= b1[0]["score"] - 1e-4
+
+
+def test_xfmr_beam_search_ctc(xfmr_model):
+    from aps_tpu.asr.beam_search.transformer import beam_search
+    nnet, variables, x = xfmr_model
+    hyp = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
+                      nbest=2, max_len=12, ctc_weight=0.3)
+    assert np.isfinite(hyp[0]["score"])
+
+
+def test_transducer_search(rng):
+    from aps_tpu.asr.beam_search.transducer import beam_search, greedy_search
+    nnet = aps_asr_nnet("asr@transducer")(
+        input_size=80, vocab_size=V, asr_transform=TRANSFORM,
+        enc_type="pytorch_rnn", enc_proj=32,
+        enc_kwargs={"hidden": 32, "num_layers": 1, "bidirectional": True},
+        dec_kwargs={"embed_size": 16, "jot_dim": 16, "hidden": 32,
+                    "num_layers": 1})
+    x = jnp.asarray(rng.standard_normal(8000) * 0.1, dtype=jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)}
+    y = jnp.full((1, 5), V - 1, dtype=jnp.int32)
+    variables = nnet.init(rngs, x[None], None, y, None, training=False)
+    g = greedy_search(nnet, variables, x)
+    b = beam_search(nnet, variables, x, beam_size=4, nbest=2,
+                    len_norm=False)
+    assert len(g) == 1 and len(b) >= 1
+    b1 = beam_search(nnet, variables, x, beam_size=1, nbest=1,
+                     len_norm=False)
+    assert b[0]["score"] >= b1[0]["score"] - 1e-4
