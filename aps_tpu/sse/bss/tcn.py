@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Conv-TasNet (time & frequency domain).
+
+Parity surface: /root/reference/aps/sse/bss/tcn.py (Conv1dBlock:115,
+Conv1dRepeat:162, TimeConvTasNet:229 "sse@time_tcn", FreqConvTasNet:361
+"sse@freq_tcn", signal_mix_consistency:14, GlobalChannelLayerNorm:33).
+
+TPU layout: channel-last N x T x C internally (flax convs; keeps C on the
+128-lane axis); N x F x T at the mask/STFT boundary for egs parity.
+Note the reference's "cLN" (GroupNorm(1, C) over N x C x T) normalizes over
+(C, T) jointly — numerically identical to gLN; we reproduce that behavior."""
+
+from typing import List, Optional, Union
+
+import jax.nn
+import jax.numpy as jnp
+from flax import linen as nn
+
+from aps_tpu.libs import ApsRegisters
+from aps_tpu.sse.base import MaskNonLinear, SSEBase, tf_masking
+
+
+def signal_mix_consistency(mix, sep: List, weight: Optional[List]) -> List:
+    """Project separated signals so they sum to the mixture."""
+    delta = mix - sum(sep)
+    if weight is None:
+        return [s + delta / len(sep) for s in sep]
+    return [s + delta * w for s, w in zip(sep, weight)]
+
+
+class GlobalChannelLayerNorm(nn.Module):
+    """gLN over N x T x C (statistics over T and C)."""
+    dim: int
+    eps: float = 1e-5
+    elementwise_affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, (1, 2), keepdims=True)
+        var = jnp.mean((x - mean)**2, (1, 2), keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+            beta = self.param("beta", nn.initializers.zeros, (self.dim,))
+            x = x * gamma + beta
+        return x
+
+
+class NormalizeLayer(nn.Module):
+    """cLN | IN | gLN | BN over N x T x C."""
+    norm: str
+    num_channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        if self.norm not in ["cLN", "IN", "gLN", "BN"]:
+            raise RuntimeError(f"Unsupported normalize layer: {self.norm}")
+        if self.norm in ("cLN", "gLN"):
+            return GlobalChannelLayerNorm(self.num_channels)(x)
+        if self.norm == "IN":
+            mean = jnp.mean(x, 1, keepdims=True)
+            var = jnp.var(x, 1, keepdims=True)
+            return (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return nn.BatchNorm(use_running_average=not training, axis=-1,
+                            momentum=0.9)(x)
+
+
+class ScaleLinear(nn.Module):
+    """1x1 conv (Dense over channels) with a learnable output scale."""
+    out_features: int
+    use_bias: bool = True
+    scale_param: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        out = nn.Dense(self.out_features, use_bias=self.use_bias)(x)
+        if self.scale_param:
+            scale = self.param(
+                "scale", lambda _: jnp.asarray(self.scale_param))
+            out = out * scale
+        return out
+
+
+class Conv1dBlock(nn.Module):
+    """TasNet TCN block: 1x1 -> PReLU/norm -> dconv -> PReLU/norm -> 1x1."""
+    in_channels: int = 256
+    conv_channels: int = 512
+    kernel_size: int = 3
+    dilation: int = 1
+    norm: str = "cLN"
+    scale_param: float = 0
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, inp: jnp.ndarray, training: bool = False):
+        """inp: N x T x C -> N x T x C"""
+        pad = self.dilation * (self.kernel_size - 1)
+        out = ScaleLinear(self.conv_channels,
+                          scale_param=self.scale_param)(inp)
+        out = nn.PReLU()(out)
+        out = NormalizeLayer(self.norm, self.conv_channels)(
+            out, training=training)
+        padding = [(pad, 0)] if self.causal else [(pad // 2, pad - pad // 2)]
+        out = nn.Conv(self.conv_channels, (self.kernel_size,),
+                      kernel_dilation=(self.dilation,),
+                      feature_group_count=self.conv_channels,
+                      padding=padding)(out)
+        out = nn.PReLU()(out)
+        out = NormalizeLayer(self.norm, self.conv_channels)(
+            out, training=training)
+        out = ScaleLinear(self.in_channels,
+                          scale_param=self.scale_param)(out)
+        return out + inp
+
+
+class Conv1dRepeat(nn.Module):
+    """R repeats x X dilated blocks, optional cross-repeat skip residuals."""
+    num_repeats: int
+    blocks_per_repeat: int
+    in_channels: int = 128
+    conv_channels: int = 128
+    kernel_size: int = 3
+    norm: str = "BN"
+    skip_residual: bool = True
+    scaling_param: bool = False
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, inp: jnp.ndarray, training: bool = False):
+        outputs = [inp]
+        skip_index = 0
+        for r in range(self.num_repeats):
+            if self.skip_residual:
+                for i in range(r):
+                    inp = inp + ScaleLinear(
+                        self.in_channels, scale_param=1.0,
+                        name=f"skip_{skip_index + i}")(outputs[i])
+                skip_index += r
+            for n in range(self.blocks_per_repeat):
+                inp = Conv1dBlock(
+                    in_channels=self.in_channels,
+                    conv_channels=self.conv_channels,
+                    kernel_size=self.kernel_size,
+                    norm=self.norm,
+                    causal=self.causal,
+                    dilation=2**n,
+                    scale_param=0 if self.scaling_param else 0.9**n,
+                    name=f"block_{r}_{n}")(inp, training=training)
+            if self.skip_residual:
+                outputs.append(inp)
+        return inp
+
+
+@ApsRegisters.sse.register("sse@time_tcn")
+class TimeConvTasNet(SSEBase):
+    """Time-domain Conv-TasNet (Luo & Mesgarani 2019)."""
+    L: int = 20
+    N: int = 256
+    X: int = 8
+    R: int = 4
+    B: int = 256
+    H: int = 512
+    P: int = 3
+    norm: str = "BN"
+    causal: bool = False
+    num_spks: int = 2
+    non_linear: str = "relu"
+    scaling_param: bool = False
+    skip_residual: bool = False
+    mixture_consistency: str = "none"
+    training_mode: str = "time"
+
+    def setup(self):
+        assert self.mixture_consistency in ["none", "fix", "mag", "learn"]
+        self.mask_act = MaskNonLinear(self.non_linear,
+                                      enable="positive_wo_softplus")
+        self.encoder = nn.Conv(self.N, (self.L,), strides=(self.L // 2,),
+                               padding="VALID")
+        self.ln = NormalizeLayer("cLN", self.N)
+        self.proj = nn.Dense(self.B)
+        self.conv = Conv1dRepeat(self.R, self.X,
+                                 in_channels=self.B,
+                                 conv_channels=self.H,
+                                 kernel_size=self.P,
+                                 norm=self.norm,
+                                 skip_residual=self.skip_residual,
+                                 scaling_param=self.scaling_param,
+                                 causal=self.causal)
+        self.mask_prelu = nn.PReLU()
+        self.mask_out = nn.Dense(self.num_spks * self.N)
+        self.decoder = nn.ConvTranspose(1, (self.L,),
+                                        strides=(self.L // 2,),
+                                        padding="VALID")
+        if self.mixture_consistency == "learn":
+            self.mc_weight = nn.Dense(self.num_spks)
+
+    def mix_consistency(self, out, mix, bss):
+        if self.mixture_consistency == "fix":
+            weight = None
+        elif self.mixture_consistency == "mag":
+            mix_sum = jnp.sum(mix, -1, keepdims=True)
+            weight = [jnp.mean(s**2, -1, keepdims=True) / mix_sum
+                      for s in bss]
+        else:
+            w = jax.nn.softmax(self.mc_weight(jnp.mean(out, 1)), -1)
+            weight = [w[:, i:i + 1] for i in range(self.num_spks)]
+        return signal_mix_consistency(mix, bss, weight)
+
+    def __call__(self, mix: jnp.ndarray, training: bool = False):
+        """mix: N x S -> [N x S', ...]"""
+        self.check_args(mix, training=True, valid_dim=[2])
+        # N x T x N_
+        w = jax.nn.relu(self.encoder(mix[..., None]))
+        y = self.proj(self.ln(w))
+        y = self.conv(y, training=training)
+        e = self.mask_prelu(y)
+        e = self.mask_out(e)  # N x T x spks*N_
+        m = jnp.stack(jnp.split(e, self.num_spks, axis=-1), axis=0)
+        # softmax over speaker axis 0 (when chosen)
+        m = self.mask_act(jnp.swapaxes(m, -1, -2))
+        m = jnp.swapaxes(m, -1, -2)
+        s = [w * m[n] for n in range(self.num_spks)]
+        bss = [self.decoder(x)[..., 0] for x in s]
+        if self.mixture_consistency != "none":
+            bss = self.mix_consistency(e, mix, bss)
+        return bss[0] if self.num_spks == 1 else bss
+
+    def infer(self, mix: jnp.ndarray, mode: str = "time"):
+        self.check_args(mix, training=False, valid_dim=[1])
+        sep = self.__call__(mix[None, ...], training=False)
+        return sep[0] if self.num_spks == 1 else [s[0] for s in sep]
+
+
+@ApsRegisters.sse.register("sse@freq_tcn")
+class FreqConvTasNet(SSEBase):
+    """Frequency-domain Conv-TasNet (TCN masking on spectral features)."""
+    in_features: int = 257
+    B: int = 6
+    K: int = 3
+    N: int = 3
+    conv_channels: int = 512
+    proj_channels: int = 256
+    norm: str = "BN"
+    num_spks: int = 2
+    num_bins: int = 257
+    non_linear: str = "relu"
+    causal: bool = False
+    scaling_param: bool = False
+    skip_residual: bool = False
+    training_mode: str = "freq"
+
+    def setup(self):
+        assert self.enh_transform is not None
+        self.proj = nn.Dense(self.proj_channels)
+        self.conv = Conv1dRepeat(self.N, self.B,
+                                 in_channels=self.proj_channels,
+                                 conv_channels=self.conv_channels,
+                                 kernel_size=self.K,
+                                 causal=self.causal,
+                                 scaling_param=self.scaling_param,
+                                 skip_residual=self.skip_residual,
+                                 norm=self.norm)
+        self.mask_prelu = nn.PReLU()
+        self.mask_out = nn.Dense(self.num_bins * self.num_spks)
+        self.mask_act = MaskNonLinear(self.non_linear, enable="common")
+
+    def _tf_mask(self, feats, training: bool) -> List[jnp.ndarray]:
+        """feats: N x T x F -> [N x F x T, ...]"""
+        x = self.proj(feats)
+        x = self.conv(x, training=training)
+        m = self.mask_out(self.mask_prelu(x))
+        # N x T x S*F -> N x S*F x T
+        masks = self.mask_act(jnp.swapaxes(m, -1, -2))
+        return jnp.split(masks, self.num_spks, axis=-2)
+
+    def _infer(self, mix, mode: str, training: bool):
+        stft, _ = self.enh_transform.encode(mix, None)
+        feats = self.enh_transform(stft, training=training)
+        masks = self._tf_mask(feats, training)
+        if mode == "time":
+            bss_stft = [tf_masking(stft, m) for m in masks]
+            bss = self.enh_transform.decode(bss_stft)
+        else:
+            bss = masks
+        return bss[0] if self.num_spks == 1 else bss
+
+    def __call__(self, mix: jnp.ndarray, training: bool = False):
+        self.check_args(mix, training=True, valid_dim=[2, 3])
+        return self._infer(mix, self.training_mode, training)
+
+    def infer(self, mix: jnp.ndarray, mode: str = "time"):
+        self.check_args(mix, training=False, valid_dim=[1, 2])
+        sep = self._infer(mix[None, ...], mode, False)
+        return sep[0] if self.num_spks == 1 else [s[0] for s in sep]

@@ -155,8 +155,9 @@ class FreqSaTask(SepTask):
                                                        "dpcl_embed")
         if enable_dpcl and self.num_spks > 1:
             raw_mag = jnp.stack([r[..., 0] for r in ref_in_polar], -1)
-            dpcl_loss = DpclObjfComputer()(self.nnet.dpcl_embed(), raw_mag,
-                                           mix_in_polar[..., 0], mean=True)
+            dpcl_loss = DpclObjfComputer()(self.nnet.dpcl_embed(mix),
+                                           raw_mag, mix_in_polar[..., 0],
+                                           mean=True)
             loss = self.dpcl_weight * dpcl_loss + \
                 (1 - self.dpcl_weight) * mask_loss
             return {"loss": loss, "dpcl": dpcl_loss, "mask": mask_loss}

@@ -117,6 +117,7 @@ class DataParallelTrainer(Trainer):
             rngs[name] = self._next_rng()
         variables = self.task.init(rngs, dev_egs, training=True)
         params = variables["params"]
+        mstate = {k: v for k, v in variables.items() if k != "params"}
         # restore / warm start
         if self.cpt_stats is not None:
             loaded = self.cpt_stats["params"]
@@ -126,6 +127,9 @@ class DataParallelTrainer(Trainer):
                 params = jax.tree_util.tree_map(jnp.asarray, loaded)
         repl = replicate_sharding(self.mesh)
         self.params = jax.device_put(params, repl)
+        if self.cpt_stats is not None and "mstate" in self.cpt_stats:
+            mstate = self.cpt_stats["mstate"]
+        self.mstate = jax.device_put(mstate, repl)
         if self.cpt_stats is not None and self.init_mode == "resume" and \
                 "opt_state" in self.cpt_stats:
             self.opt_state = jax.device_put(self.cpt_stats["opt_state"], repl)
@@ -141,18 +145,24 @@ class DataParallelTrainer(Trainer):
     def _build_steps(self):
         task = self.task
 
-        def train_step(params, opt_state, egs, lr, ssr, rng):
+        def train_step(params, mstate, opt_state, egs, lr, ssr, rng):
             keys = jax.random.split(rng, len(RNG_COLLECTIONS))
             rngs = dict(zip(RNG_COLLECTIONS, keys))
             egs = dict(egs)
             egs["#ssr"] = ssr
 
             def loss_fn(p):
-                out = task.apply({"params": p}, egs, training=True,
-                                 rngs=rngs)
-                return out["loss"], out
+                if mstate:
+                    out, new_mstate = task.apply(
+                        {"params": p, **mstate}, egs, training=True,
+                        rngs=rngs, mutable=list(mstate.keys()))
+                else:
+                    out = task.apply({"params": p}, egs, training=True,
+                                     rngs=rngs)
+                    new_mstate = mstate
+                return out["loss"], (out, new_mstate)
 
-            (loss, out), grads = jax.value_and_grad(
+            (loss, (out, new_mstate)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             grad_norm = optax.global_norm(grads)
             finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
@@ -165,20 +175,23 @@ class DataParallelTrainer(Trainer):
                 lambda x, y: jnp.where(finite, x, y), a, b)
             new_params = select(new_params, params)
             new_opt = select(new_opt, opt_state)
+            new_mstate = select(new_mstate, mstate) if mstate else mstate
             stats = dict(out)
             stats["norm"] = grad_norm
-            return new_params, new_opt, stats, finite
+            return new_params, new_mstate, new_opt, stats, finite
 
-        def eval_step(params, egs):
-            return task.apply({"params": params}, egs, training=False)
+        def eval_step(params, mstate, egs):
+            return task.apply({"params": params, **mstate}, egs,
+                              training=False)
 
-        self._step_fn = jax.jit(train_step, donate_argnums=(0, 1))
+        self._step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_fn = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
     def checkpoint_states(self, epoch: int) -> Dict:
         stats = super(DataParallelTrainer, self).checkpoint_states(epoch)
         stats["params"] = jax.tree_util.tree_map(np.asarray, self.params)
+        stats["mstate"] = jax.tree_util.tree_map(np.asarray, self.mstate)
         stats["opt_state"] = jax.tree_util.tree_map(
             lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
             self.opt_state)
@@ -190,8 +203,9 @@ class DataParallelTrainer(Trainer):
         dev = self._device_egs(dev)
         lr = jnp.float32(self.lr_scheduler.get_lr())
         ssr = jnp.float32(self.ssr)
-        self.params, self.opt_state, stats, finite = self._step_fn(
-            self.params, self.opt_state, dev, lr, ssr, self._next_rng())
+        (self.params, self.mstate, self.opt_state, stats,
+         finite) = self._step_fn(self.params, self.mstate, self.opt_state,
+                                 dev, lr, ssr, self._next_rng())
         ok = bool(finite)
         stats = dict(stats)
         stats["rate"] = self.lr_scheduler.get_lr()
@@ -205,7 +219,7 @@ class DataParallelTrainer(Trainer):
     def valid_one_step(self, egs: Dict) -> None:
         host, dev = self._split_egs(egs)
         dev = self._device_egs(dev)
-        stats = self._eval_fn(self.params, dev)
+        stats = self._eval_fn(self.params, self.mstate, dev)
         self.reporter.update(host)
         self.reporter.update(stats)
 
