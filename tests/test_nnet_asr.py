@@ -209,3 +209,45 @@ def test_rnnt_loss_brute_force(rng):
         ref = naive(lp[n], np.asarray(labels[n]), int(t_lens[n]),
                     int(u_lens[n]))
         np.testing.assert_allclose(float(ours[n]), ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("enh_type", ["google_clp", "rnn_mask_mvdr",
+                                      "time_invar", "time_variant"])
+def test_enh_att_asr(rng, enh_type):
+    from aps_tpu.transform import EnhTransform
+    enh_transform = EnhTransform(feats="spectrogram-log-cmvn",
+                                 frame_len=512, frame_hop=256)
+    # input feature size to ASR depends on the front-end output
+    if enh_type == "google_clp":
+        enh_kwargs = {"num_bins": 257, "num_channels": 3,
+                      "spatial_filters": 2, "spectra_filters": 40}
+        asr_input = 2 * 40
+    elif enh_type == "rnn_mask_mvdr":
+        enh_kwargs = {"num_bins": 257, "hidden_size": 32, "num_layers": 1}
+        asr_input = 257
+    elif enh_type == "time_invar":
+        enh_kwargs = {"num_bins": 257, "num_channels": 3,
+                      "spatial_filters": 2, "spectra_filters": 40}
+        asr_input = 2 * 40
+    else:
+        enh_kwargs = {"num_bins": 257, "num_channels": 3,
+                      "time_reception": 3, "spatial_filters": 2,
+                      "spectra_filters": 40}
+        asr_input = 2 * 40
+    nnet = aps_asr_nnet("asr@enh_att")(
+        input_size=asr_input, vocab_size=20, sos=17, eos=18, ctc=True,
+        enh_transform=enh_transform, enh_type=enh_type,
+        enh_kwargs=enh_kwargs,
+        att_type="dot", att_kwargs={"att_dim": 16},
+        enc_type="pytorch_rnn", enc_proj=32,
+        enc_kwargs={"hidden": 32, "num_layers": 1},
+        dec_kwargs={"hidden": 32, "num_layers": 1})
+    x = jnp.asarray(rng.standard_normal((2, 3, 16384)) * 0.1,
+                    dtype=jnp.float32)
+    x_len = jnp.asarray([16384, 16384])
+    y = jnp.asarray(rng.integers(0, 16, (2, 6)))
+    dec_out, enc_ctc, enc_len = init_and_apply(nnet, x, x_len, y,
+                                               jnp.asarray([6, 5]),
+                                               training=True)
+    assert dec_out.shape[:2] == (2, 6)
+    assert np.isfinite(np.asarray(dec_out)).all()
