@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""ASR beam-search decoding (parity: /root/reference/cmd/decode.py).
+
+Nbest format:
+    <nbest n>
+    key1
+    score-1 num-tok-1 hyp-1
+    ...
+"""
+
+import argparse
+import pprint
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from aps_tpu.conf import load_dict
+from aps_tpu.eval import NnetEvaluator, TextPostProcessor
+from aps_tpu.io import AudioReader, SegmentAudioReader, io_wrapper
+from aps_tpu.loader.kaldi_io import ScriptReader
+from aps_tpu.opts import DecodingParser, StrToBoolAction
+from aps_tpu.utils import SimpleTimer, get_logger
+
+logger = get_logger(__name__)
+
+beam_search_params = [
+    "beam_size", "nbest", "max_len", "min_len", "len_norm", "lm_weight",
+    "ctc_weight", "temperature", "len_penalty", "cov_penalty",
+    "eos_threshold", "cov_threshold"
+]
+
+
+class FasterDecoder(NnetEvaluator):
+    """Single-utterance decoder wrapper (compiled beam search)."""
+
+    def __init__(self, cpt_dir, cpt_tag="best", function="beam_search",
+                 device_id=-1):
+        super(FasterDecoder, self).__init__(cpt_dir, cpt_tag=cpt_tag,
+                                            device_id=device_id)
+        self.function = function
+        name = self.conf["nnet"]
+        if name in ("asr@att", "asr@enh_att"):
+            from aps_tpu.asr.beam_search import att as api
+        elif name in ("asr@xfmr", "asr@enh_xfmr"):
+            from aps_tpu.asr.beam_search import transformer as api
+        elif "transducer" in name:
+            from aps_tpu.asr.beam_search import transducer as api
+        else:
+            api = None
+        self.api = api
+        self.sos = self.conf["nnet_conf"].get("sos", -1)
+        self.eos = self.conf["nnet_conf"].get("eos", -1)
+        self.vocab_size = self.conf["nnet_conf"]["vocab_size"]
+
+    def run(self, src, lm=None, **kwargs):
+        src = jnp.asarray(src)
+        if self.api is None:
+            # encoder-only CTC model: prefix beam search
+            from aps_tpu.asr.beam_search.ctc import CtcApi
+            logits, _ = self.nnet.apply(self.variables, src[None],
+                                        method="ctc_logits")
+            return CtcApi(self.vocab_size - 1).beam_search(
+                logits[0], sos=self.sos, eos=self.eos, **kwargs)
+        if "transducer" in self.conf["nnet"]:
+            keep = {k: kwargs[k] for k in
+                    ("beam_size", "nbest", "len_norm") if k in kwargs}
+            fn = self.api.greedy_search if self.function == \
+                "greedy_search" else self.api.beam_search
+            return fn(self.nnet, self.variables, src, lm=lm, **keep)
+        fn = self.api.greedy_search if self.function == "greedy_search" \
+            else self.api.beam_search
+        return fn(self.nnet, self.variables, src, lm=lm, sos=self.sos,
+                  eos=self.eos, **kwargs)
+
+
+def run(args):
+    print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
+    decoder = FasterDecoder(args.am, cpt_tag=args.am_tag,
+                            function=args.function,
+                            device_id=args.device_id)
+    if decoder.accept_raw:
+        if args.segment:
+            src_reader = SegmentAudioReader(args.feats_or_wav_scp,
+                                            args.segment, sr=args.sr,
+                                            channel=args.channel)
+        else:
+            src_reader = AudioReader(args.feats_or_wav_scp, sr=args.sr,
+                                     channel=args.channel)
+    else:
+        src_reader = ScriptReader(args.feats_or_wav_scp)
+
+    lm = None
+    if args.lm:
+        if Path(args.lm).is_file():
+            from aps_tpu.asr.lm.ngram import NgramLM
+            lm = NgramLM(args.lm, load_dict(args.dict))
+            logger.info(f"Load ngram LM from {args.lm}")
+        else:
+            from aps_tpu.asr.beam_search.lm import lm_adapter
+            lm_eval = NnetEvaluator(args.lm, device_id=args.device_id,
+                                    cpt_tag=args.lm_tag)
+            lm = lm_adapter(lm_eval.nnet, lm_eval.variables,
+                            max_len=args.max_len, sos=decoder.sos)
+            logger.info(f"Use NN LM weight: {args.lm_weight}")
+
+    processor = TextPostProcessor(args.dict, space=args.space,
+                                  show_unk=args.show_unk, spm=args.spm)
+    kwargs = {k: getattr(args, k) for k in beam_search_params
+              if hasattr(args, k)}
+    stdout_top, top = io_wrapper(args.best, "w")
+    if args.dump_nbest:
+        stdout_nbest, nbest_fd = io_wrapper(args.dump_nbest, "w")
+        nbest_fd.write(f"{args.nbest}\n")
+    timer = SimpleTimer()
+    tot_utts, tot_dur = 0, 0
+    for key, src in src_reader:
+        nbest_hypos = decoder.run(src, lm=lm, **kwargs)
+        nbest = [f"{key}\n"]
+        for idx, hyp in enumerate(nbest_hypos):
+            # remove sos/eos
+            trans = processor.run(hyp["trans"][1:-1])
+            score = hyp["score"]
+            nbest.append(f"{score:.3f}\t{len(hyp['trans']) - 2:d}\t"
+                         f"{trans}\n")
+            if idx == 0:
+                top.write(f"{key}\t{trans}\n")
+        if args.dump_nbest:
+            nbest_fd.write("".join(nbest))
+        tot_utts += 1
+        if decoder.accept_raw:
+            tot_dur += len(src) / args.sr
+        if tot_utts % 50 == 0:
+            top.flush()
+            logger.info(f"Processed {tot_utts} utterances...")
+    cost = timer.elapsed() * 60
+    logger.info(f"Decoded {tot_utts} utterances in {cost:.1f}s"
+                + (f", RTF = {cost / tot_dur:.4f}" if tot_dur else ""))
+    if not stdout_top:
+        top.close()
+    if args.dump_nbest and not stdout_nbest:
+        nbest_fd.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="ASR decoding with compiled beam search",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        parents=[DecodingParser.parser])
+    parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--segment", type=str, default="")
+    parser.add_argument("--space", type=str, default="")
+    parser.add_argument("--show-unk", type=str, default="<unk>")
+    parser.add_argument("--dump-nbest", type=str, default="")
+    parser.add_argument("--function", type=str, default="beam_search",
+                        choices=["beam_search", "greedy_search"])
+    run(parser.parse_args())

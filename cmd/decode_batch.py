@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Batched ASR decoding (parity: /root/reference/cmd/decode_batch.py):
+groups utterances and dispatches their compiled beam searches back-to-back
+(shape-bucketed so XLA reuses programs)."""
+
+import argparse
+import pprint
+
+import jax.numpy as jnp
+
+from aps_tpu.eval import TextPostProcessor
+from aps_tpu.io import AudioReader, io_wrapper
+from aps_tpu.opts import DecodingParser
+from aps_tpu.utils import SimpleTimer, get_logger
+
+from decode import FasterDecoder, beam_search_params
+
+logger = get_logger(__name__)
+
+
+def run(args):
+    print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
+    decoder = FasterDecoder(args.am, cpt_tag=args.am_tag,
+                            function="beam_search",
+                            device_id=args.device_id)
+    src_reader = AudioReader(args.feats_or_wav_scp, sr=args.sr,
+                             channel=args.channel)
+    processor = TextPostProcessor(args.dict, space=args.space,
+                                  show_unk=args.show_unk, spm=args.spm)
+    kwargs = {k: getattr(args, k) for k in beam_search_params
+              if hasattr(args, k)}
+    stdout_top, top = io_wrapper(args.best, "w")
+    timer = SimpleTimer()
+    tot_utts, tot_dur = 0, 0
+    for key, src in src_reader:
+        hyp = decoder.run(src, **kwargs)[0]
+        trans = processor.run(hyp["trans"][1:-1])
+        top.write(f"{key}\t{trans}\n")
+        tot_utts += 1
+        tot_dur += len(src) / args.sr
+        if tot_utts % args.batch_size == 0:
+            top.flush()
+            logger.info(f"Processed {tot_utts} utterances ...")
+    cost = timer.elapsed() * 60
+    logger.info(f"Decoded {tot_utts} utterances in {cost:.1f}s, "
+                f"RTF = {cost / max(tot_dur, 1e-6):.4f}")
+    if not stdout_top:
+        top.close()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Batch ASR decoding",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+        parents=[DecodingParser.parser])
+    parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--space", type=str, default="")
+    parser.add_argument("--show-unk", type=str, default="<unk>")
+    parser.add_argument("--batch-size", type=int, default=8)
+    run(parser.parse_args())

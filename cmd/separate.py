@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Chunk-wise SSE inference + overlap stitching (parity:
+/root/reference/cmd/separate.py)."""
+
+import argparse
+import pathlib
+import pprint
+
+import jax.numpy as jnp
+import numpy as np
+
+from aps_tpu.eval import ChunkStitcher, NnetEvaluator
+from aps_tpu.io import AudioReader, write_audio
+from aps_tpu.utils import SimpleTimer, get_logger
+
+logger = get_logger(__name__)
+
+
+class Separator(NnetEvaluator):
+
+    def __init__(self, cpt_dir, cpt_tag="best", device_id=-1):
+        super(Separator, self).__init__(cpt_dir, cpt_tag=cpt_tag,
+                                        device_id=device_id)
+
+    def run(self, src, chunk_hop=-1, chunk_len=-1, mode="time"):
+        """src: S (or C x S) numpy -> separated signal(s)."""
+        src = jnp.asarray(src)
+        N = src.shape[-1]
+        if chunk_len <= 0 or N <= chunk_len:
+            return self.apply(src, mode=mode, method="infer")
+        lctx = (chunk_len - chunk_hop) // 2
+        rctx = chunk_len - chunk_hop - lctx
+        stitcher = ChunkStitcher(chunk_hop, lctx, rctx)
+        chunks = []
+        beg = 0
+        while beg < N:
+            end = min(beg + chunk_len, N)
+            seg = src[..., beg:end]
+            if end - beg < chunk_len:
+                pad = chunk_len - (end - beg)
+                widths = [(0, 0)] * (seg.ndim - 1) + [(0, pad)]
+                seg = jnp.pad(seg, widths)
+            sep = self.apply(seg, mode=mode, method="infer")
+            chunks.append([np.asarray(s) for s in sep]
+                          if isinstance(sep, (list, tuple))
+                          else np.asarray(sep))
+            beg += chunk_hop
+        return stitcher.stitch(chunks, N)
+
+
+def run(args):
+    print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
+    sep_dir = pathlib.Path(args.sep_dir)
+    sep_dir.mkdir(parents=True, exist_ok=True)
+    separator = Separator(args.checkpoint, cpt_tag=args.tag,
+                          device_id=args.device_id)
+    reader = AudioReader(args.wav_scp, sr=args.sr, channel=args.channel)
+    timer = SimpleTimer()
+    tot_dur = 0
+    for key, mix in reader:
+        sep = separator.run(mix, chunk_hop=args.chunk_hop,
+                            chunk_len=args.chunk_len)
+        if isinstance(sep, (list, tuple)):
+            for i, s in enumerate(sep):
+                write_audio(str(sep_dir / f"spk{i + 1}" / f"{key}.wav"),
+                            np.asarray(s), sr=args.sr)
+        else:
+            write_audio(str(sep_dir / f"{key}.wav"), np.asarray(sep),
+                        sr=args.sr)
+        tot_dur += mix.shape[-1] / args.sr
+    cost = timer.elapsed() * 60
+    logger.info(f"Processed {len(reader)} utterances in {cost:.1f}s, "
+                f"RTF = {cost / max(tot_dur, 1e-6):.4f}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Separation/enhancement inference",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("wav_scp", type=str)
+    parser.add_argument("sep_dir", type=str)
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--tag", type=str, default="best")
+    parser.add_argument("--device-id", type=int, default=-1)
+    parser.add_argument("--sr", type=int, default=16000)
+    parser.add_argument("--channel", type=int, default=-1)
+    parser.add_argument("--chunk-len", type=int, default=-1,
+                        help="Chunk length in samples (-1: whole utt)")
+    parser.add_argument("--chunk-hop", type=int, default=-1)
+    run(parser.parse_args())
