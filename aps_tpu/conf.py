@@ -101,11 +101,9 @@ def load_am_conf(yaml_conf: str, dict_path: str) -> Tuple[Dict, Dict]:
     if use_ctc or is_transducer_or_ctc:
         # CTC/transducer blank id: appended at end of the vocabulary
         conf["task_conf"]["blank"] = len(vocab)
-        nnet_conf["ctc"] = use_ctc or conf["task"] == "asr@ctc"
-        if BLK_TOKEN in vocab:
-            raise RuntimeError(
-                f"Found {BLK_TOKEN} in {dict_path}: blank is implicit "
-                "(id = len(vocab)), remove it from the dictionary")
+        nnet_conf["vocab_size"] += 1
+        if use_ctc:
+            nnet_conf["ctc"] = True
     return conf, vocab
 
 

@@ -220,7 +220,6 @@ def start_trainer(trainer: str,
     data_conf = conf["data_conf"]
     loader_conf = {
         "fmt": data_conf["fmt"],
-        "batch_size": args.batch_size,
         "num_workers": getattr(args, "num_workers", 0),
         "max_batch_size": args.batch_size,
     }

@@ -570,8 +570,10 @@ class FeatureTransform(nn.Module):
 
     @property
     def accept_raw(self) -> bool:
-        """True if the pipeline starts from raw waveform (has a STFT)."""
-        return self.spectra_index != -1
+        """True if the pipeline starts from raw waveform (has a STFT).
+        Derived from the feats string so it works on unbound modules."""
+        toks = self.feats.split("-") if self.feats else []
+        return any(t in ("spectrogram", "fbank", "mfcc") for t in toks)
 
     def _num_frames(self, inp_len, choice=None):
         if inp_len is None:

@@ -1,0 +1,211 @@
+"""End-to-end CLI tests: tiny train_ss/train_am runs + inference commands
+(mirrors reference tests/python/check_cmds.sh / check_decoding.sh)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# force CPU in subprocesses: clear the axon plugin trigger + set platform
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+ENV.pop("PALLAS_AXON_POOL_IPS", None)
+
+
+def run_cmd(args, **kwargs):
+    proc = subprocess.run([sys.executable] + args, cwd=REPO, env=ENV,
+                          capture_output=True, text=True, **kwargs)
+    if proc.returncode != 0:
+        raise RuntimeError(f"cmd failed: {' '.join(args)}\n"
+                           f"stdout: {proc.stdout[-2000:]}\n"
+                           f"stderr: {proc.stderr[-2000:]}")
+    return proc
+
+
+@pytest.fixture(scope="module")
+def sse_workspace(tmp_path_factory):
+    """Tiny 2-speaker separation corpus + yaml config."""
+    from aps_tpu.io import write_audio
+    root = tmp_path_factory.mktemp("sse_ws")
+    rng = np.random.default_rng(1)
+    sr, n_utt, S = 16000, 12, 16384
+    for sub in ["tr", "cv"]:
+        utts = range(n_utt if sub == "tr" else 4)
+        with open(root / f"{sub}_mix.scp", "w") as m, \
+             open(root / f"{sub}_spk1.scp", "w") as s1, \
+             open(root / f"{sub}_spk2.scp", "w") as s2:
+            for i in utts:
+                t = np.linspace(0, 1, S)
+                a = np.sin(2 * np.pi * rng.uniform(200, 400) * t)
+                b = np.sin(2 * np.pi * rng.uniform(500, 800) * t)
+                a = (a * 0.3).astype(np.float32)
+                b = (b * 0.3).astype(np.float32)
+                mix = a + b
+                for name, sig, fd in [("mix", mix, m), ("spk1", a, s1),
+                                      ("spk2", b, s2)]:
+                    path = root / f"{sub}_{name}_{i}.wav"
+                    write_audio(str(path), sig, sr=sr)
+                    fd.write(f"utt{i} {path}\n")
+    conf = {
+        "nnet": "sse@base_rnn",
+        "nnet_conf": {
+            "input_size": 257, "num_bins": 257, "num_spks": 2,
+            "hidden": 32, "num_layers": 1, "bidirectional": True,
+            "training_mode": "time",
+        },
+        "enh_transform": {
+            "feats": "spectrogram-log-cmvn", "frame_len": 512,
+            "frame_hop": 256,
+        },
+        "task": "sse@sisnr",
+        "task_conf": {"num_spks": 2},
+        "data_conf": {
+            "fmt": "se@chunk",
+            "loader": {"chunk_size": 16384, "sr": 16000},
+            "train": {
+                "mix_scp": str(root / "tr_mix.scp"),
+                "ref_scp": f"{root}/tr_spk1.scp,{root}/tr_spk2.scp",
+            },
+            "valid": {
+                "mix_scp": str(root / "cv_mix.scp"),
+                "ref_scp": f"{root}/cv_spk1.scp,{root}/cv_spk2.scp",
+            },
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 1e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 2},
+            "clip_gradient": 5.0,
+            "no_impr": 10,
+            "report_metrics": ["loss"],
+        },
+    }
+    conf_path = root / "1a.yaml"
+    with open(conf_path, "w") as f:
+        yaml.dump(conf, f)
+    return root, conf_path
+
+
+def test_train_ss_and_separate(sse_workspace, tmp_path):
+    root, conf_path = sse_workspace
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_ss.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "4",
+             "--epochs", "2", "--num-workers", "0"])
+    assert (cpt / "best.ckpt").exists()
+    assert (cpt / "train.yaml").exists()
+    # separation inference
+    sep_dir = tmp_path / "sep"
+    run_cmd(["cmd/separate.py", str(root / "cv_mix.scp"), str(sep_dir),
+             "--checkpoint", str(cpt)])
+    assert (sep_dir / "spk1" / "utt0.wav").exists()
+    # metric against references
+    with open(tmp_path / "sep1.scp", "w") as f1, \
+         open(tmp_path / "sep2.scp", "w") as f2:
+        for i in range(4):
+            f1.write(f"utt{i} {sep_dir}/spk1/utt{i}.wav\n")
+            f2.write(f"utt{i} {sep_dir}/spk2/utt{i}.wav\n")
+    proc = run_cmd(["cmd/compute_ss_metric.py",
+                    f"{tmp_path}/sep1.scp,{tmp_path}/sep2.scp",
+                    f"{root}/cv_spk1.scp,{root}/cv_spk2.scp",
+                    "--metric", "sisnr"])
+    assert "Total:" in proc.stdout
+
+
+@pytest.fixture(scope="module")
+def am_workspace(tmp_path_factory):
+    from aps_tpu.io import write_audio
+    root = tmp_path_factory.mktemp("am_ws")
+    rng = np.random.default_rng(2)
+    sr = 16000
+    vocab = {"<unk>": 0, "a": 1, "b": 2, "c": 3, "<sos>": 4, "<eos>": 5}
+    with open(root / "dict", "w") as f:
+        for k, v in vocab.items():
+            f.write(f"{k} {v}\n")
+    for sub, n in [("tr", 12), ("cv", 10)]:
+        with open(root / f"{sub}_wav.scp", "w") as w, \
+             open(root / f"{sub}_text", "w") as t, \
+             open(root / f"{sub}_dur", "w") as d:
+            for i in range(n):
+                S = int(sr * rng.uniform(0.5, 1.0))
+                wav = (rng.standard_normal(S) * 0.1).astype(np.float32)
+                path = root / f"{sub}_{i}.wav"
+                write_audio(str(path), wav, sr=sr)
+                toks = " ".join(rng.choice(["a", "b", "c"],
+                                           rng.integers(2, 6)))
+                w.write(f"utt{i} {path}\n")
+                t.write(f"utt{i} {toks}\n")
+                d.write(f"utt{i} {S / sr}\n")
+    conf = {
+        "nnet": "asr@att",
+        "nnet_conf": {
+            "input_size": 40,
+            "att_type": "ctx",
+            "att_kwargs": {"att_dim": 16},
+            "enc_type": "pytorch_rnn",
+            "enc_proj": 32,
+            "enc_kwargs": {"hidden": 32, "num_layers": 1,
+                           "bidirectional": True},
+            "dec_kwargs": {"hidden": 32, "num_layers": 1},
+        },
+        "asr_transform": {
+            "feats": "fbank-log-cmvn", "frame_len": 400, "frame_hop": 160,
+            "num_mels": 40, "window": "hamm",
+        },
+        "task": "asr@ctc_xent",
+        "task_conf": {"ctc_weight": 0.2, "lsm_factor": 0.1},
+        "data_conf": {
+            "fmt": "am@raw",
+            "loader": {"max_dur": 10, "min_dur": 0.1, "min_token_num": 1,
+                       "tokenizer": "word"},
+            "train": {
+                "wav_scp": str(root / "tr_wav.scp"),
+                "text": str(root / "tr_text"),
+                "utt2dur": str(root / "tr_dur"),
+            },
+            "valid": {
+                "wav_scp": str(root / "cv_wav.scp"),
+                "text": str(root / "cv_text"),
+                "utt2dur": str(root / "cv_dur"),
+            },
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 1e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {},
+            "clip_gradient": 5.0,
+            "no_impr": 10,
+            "report_metrics": ["loss", "accu"],
+        },
+    }
+    conf_path = root / "1a.yaml"
+    with open(conf_path, "w") as f:
+        yaml.dump(conf, f)
+    return root, conf_path
+
+
+def test_train_am_and_decode(am_workspace, tmp_path):
+    root, conf_path = am_workspace
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "4",
+             "--epochs", "1", "--dict", str(root / "dict"),
+             "--num-workers", "0"])
+    assert (cpt / "best.ckpt").exists()
+    assert (cpt / "dict").exists()
+    # decode
+    out = tmp_path / "hyp.text"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
+             "--am", str(cpt), "--beam-size", "2", "--nbest", "1",
+             "--max-len", "8", "--dict", str(cpt / "dict")])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 10
+    # compute wer runs
+    proc = run_cmd(["cmd/compute_wer.py", str(out),
+                    str(root / "cv_text")])
+    assert "WER" in proc.stdout
