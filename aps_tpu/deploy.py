@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Deployment-side model runner, driven by the C++ runtime (csrc/base/nnet.cc)
+through an embedded interpreter. Replaces the reference's TorchScript
+consumption path (cmd/export_for_libtorch.py artifacts)."""
+
+import os
+from typing import Tuple
+
+# the runtime runs on CPU edge devices; force the CPU backend even when a
+# site hook (e.g. an accelerator plugin's sitecustomize) preset JAX_PLATFORMS
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # already initialized elsewhere
+    pass
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+class RtModel(object):
+    """Load a checkpoint and expose a jitted per-chunk function with a
+    bytes-in/bytes-out ABI (no numpy C-API needed on the C++ side)."""
+
+    def __init__(self, cpt_dir: str, function: str = "mask_predict",
+                 cpt_tag: str = "best"):
+        from aps_tpu.eval import NnetEvaluator
+        self.evaluator = NnetEvaluator(cpt_dir, cpt_tag=cpt_tag)
+        self.function = function
+        self._jit = jax.jit(
+            lambda feats: self.evaluator.nnet.apply(
+                self.evaluator.variables, feats, method=function))
+
+    def forward_bytes(self, data: bytes, num_frames: int,
+                      dim: int) -> Tuple[bytes, tuple]:
+        feats = np.frombuffer(data, dtype=np.float32).reshape(
+            1, num_frames, dim)
+        out = self._jit(jnp.asarray(feats))
+        out = np.asarray(out, dtype=np.float32)
+        return out.tobytes(), tuple(out.shape)
+
+
+class RtStablehlo(object):
+    """Run a cmd/export.py StableHLO artifact (model.stablehlo)."""
+
+    def __init__(self, export_dir: str):
+        from jax import export as jexport
+        with open(os.path.join(export_dir, "model.stablehlo"), "rb") as fd:
+            self.exported = jexport.deserialize(bytearray(fd.read()))
+
+    def forward_bytes(self, data: bytes, num_frames: int,
+                      dim: int) -> Tuple[bytes, tuple]:
+        feats = np.frombuffer(data, dtype=np.float32).reshape(
+            1, num_frames, dim)
+        out = self.exported.call(jnp.asarray(feats))
+        out = np.asarray(out, dtype=np.float32)
+        return out.tobytes(), tuple(out.shape)

@@ -94,3 +94,16 @@ class DFSMN(RealTimeSSEBase):
         masks = self._mask_post(proj)
         masks = jnp.stack(masks)
         return (masks[0] if self.num_branchs == 1 else masks), state
+
+    def mask_predict(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Deployment entry driven by csrc/enh/dfsmn.h through
+        aps_tpu.deploy.RtModel (parity: reference csrc/enh/dfsmn.cc feeding
+        the TorchScript module). feats: N x W x F context block (W =
+        lctx_total + 1 + rctx_total) -> first-branch mask, N x T' x F
+        (real) or N x T' x F x 2 (complex, re/im interleaved in memory)."""
+        proj, _ = self.dfsmn(feats, None, training=False)
+        mask = jnp.split(self.mask_act(proj), self.num_branchs, axis=-1)[0]
+        if self.complex_mask:
+            re, im = jnp.split(mask, 2, axis=-1)
+            mask = jnp.stack([re, im], axis=-1)
+        return mask

@@ -85,3 +85,16 @@ class FreqXfmr(RealTimeSSEBase):
         masks = self._mask_post(proj)
         masks = jnp.stack(masks)
         return (masks[0] if self.num_branchs == 1 else masks), state
+
+    def mask_predict(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Deployment entry driven by csrc/enh/transformer.h through
+        aps_tpu.deploy.RtModel. feats: N x W x F rolling window (W =
+        att_lctx * chunk + chunk) -> first-branch masks for all W frames,
+        N x W x F (real) or N x W x F x 2 (complex); the native runtime
+        picks the frame with full left context."""
+        proj, _ = self.xfmr(feats, None, training=False)
+        mask = jnp.split(self.mask_act(proj), self.num_branchs, axis=-1)[0]
+        if self.complex_mask:
+            re, im = jnp.split(mask, 2, axis=-1)
+            mask = jnp.stack([re, im], axis=-1)
+        return mask
