@@ -22,16 +22,27 @@ from flax import linen as nn
 from aps_tpu.const import MIN_F32
 from aps_tpu.asr.transformer.utils import digit_shift, get_activation_fn
 from aps_tpu.libs import Register
+from aps_tpu.ops.pallas import flash_attention
 
 TransformerEncoderLayers = Register("xfmr_encoder_layer")
 
 
 class ApsMultiheadAttention(nn.Module):
     """Standard MHSA. call(query N x L x E, key/value N x S x E) ->
-    (context N x L x E, weight N x L x S)."""
+    (context N x L x E, weight N x L x S).
+
+    When the attention is a plain scaled-dot-product with (at most) a
+    suffix key-padding mask — i.e. abs pose, no additive attn_mask, no
+    active attention dropout — the math runs through the Pallas flash
+    kernel (aps_tpu.ops.pallas.attention) on TPU, which never
+    materializes the N x H x L x S score matrix in HBM. Other cases (rel/
+    xl position terms, streaming chunk masks, attention dropout) use the
+    dense einsum path. Set use_flash=False to force dense everywhere
+    (e.g. when the per-head attention weights are needed)."""
     embed_dim: int
     num_heads: int
     dropout: float = 0
+    use_flash: bool = True
 
     @property
     def head_dim(self):
@@ -86,10 +97,29 @@ class ApsMultiheadAttention(nn.Module):
         # mean over heads: N x L x S
         return context, jnp.mean(weight, axis=1)
 
+    def _flash_eligible(self, inj_pose, attn_mask, training) -> bool:
+        return (self.use_flash and type(self) is ApsMultiheadAttention
+                and inj_pose is None and attn_mask is None
+                and (self.dropout == 0 or not training))
+
     def __call__(self, query, key, value, inj_pose=None,
                  key_padding_mask=None, attn_mask=None,
                  training: bool = False):
         q, k, v = self.inp_proj(query, key, value)
+        if self._flash_eligible(inj_pose, attn_mask, training):
+            k_len = None
+            if key_padding_mask is not None:
+                # suffix padding mask (True = pad) -> valid lengths
+                k_len = jnp.sum(
+                    jnp.logical_not(key_padding_mask), -1).astype(jnp.int32)
+            # N x T x H x D -> N x H x T x D
+            o = flash_attention(jnp.swapaxes(q, 1, 2),
+                                jnp.swapaxes(k, 1, 2),
+                                jnp.swapaxes(v, 1, 2),
+                                k_len=k_len)
+            context = jnp.swapaxes(o, 1, 2)
+            N, L = context.shape[:2]
+            return self.out_proj(context.reshape(N, L, self.embed_dim)), None
         logit = self.dot_att(q, k, inj_pose)
         context, weight = self.context_weight(
             logit, v, key_padding_mask=key_padding_mask,
