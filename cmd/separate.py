@@ -57,17 +57,25 @@ def run(args):
     reader = AudioReader(args.wav_scp, sr=args.sr, channel=args.channel)
     timer = SimpleTimer()
     tot_dur = 0
+    scps = {}
     for key, mix in reader:
         sep = separator.run(mix, chunk_hop=args.chunk_hop,
                             chunk_len=args.chunk_len)
         if isinstance(sep, (list, tuple)):
             for i, s in enumerate(sep):
-                write_audio(str(sep_dir / f"spk{i + 1}" / f"{key}.wav"),
-                            np.asarray(s), sr=args.sr)
+                path = sep_dir / f"spk{i + 1}" / f"{key}.wav"
+                write_audio(str(path), np.asarray(s), sr=args.sr)
+                scps.setdefault(f"spk{i + 1}", []).append((key, path))
         else:
-            write_audio(str(sep_dir / f"{key}.wav"), np.asarray(sep),
-                        sr=args.sr)
+            path = sep_dir / f"{key}.wav"
+            write_audio(str(path), np.asarray(sep), sr=args.sr)
+            scps.setdefault("wav", []).append((key, path))
         tot_dur += mix.shape[-1] / args.sr
+    # index the outputs so scoring tools can consume them directly
+    for name, entries in scps.items():
+        with open(sep_dir / f"{name}.scp", "w") as fd:
+            for key, path in entries:
+                fd.write(f"{key} {path}\n")
     cost = timer.elapsed() * 60
     logger.info(f"Processed {len(reader)} utterances in {cost:.1f}s, "
                 f"RTF = {cost / max(tot_dur, 1e-6):.4f}")
