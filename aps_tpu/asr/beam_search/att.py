@@ -70,6 +70,16 @@ def _beam_search_impl(nnet, variables, enc_out, enc_len, ctc_out, lm,
                       param: BeamSearchParam, max_len: int,
                       nbest: int) -> List[Dict]:
     """enc_out: T x D single utterance."""
+    final_state = _search_core(nnet, variables, enc_out, enc_len, ctc_out,
+                               lm, param, max_len)
+    return extract_nbest(jax.device_get(final_state), param, nbest,
+                         final=True)
+
+
+def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
+                 param: BeamSearchParam, max_len: int) -> BeamState:
+    """The traced search program: enc_out T x D -> final dense BeamState.
+    vmap-able over utterances (see beam_search_batch)."""
     K = param.beam_size
     T = enc_out.shape[0]
     enc_tiled = jnp.tile(enc_out[None], (K, 1, 1))
@@ -159,18 +169,68 @@ def _beam_search_impl(nnet, variables, enc_out, enc_len, ctc_out, lm,
     # lax.while_loop needs uniform pytrees; wrap None states as empty tuples
     loop0 = (0, state0, carry0, lm_state0, ctc_state0)
     _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
-    return extract_nbest(jax.device_get(final_state), param, nbest,
-                         final=True)
+    return final_state
 
 
-def beam_search_batch(nnet, variables, batch: List, sos=-1, eos=-1,
-                      **kwargs) -> List[List[Dict]]:
-    """Batched beam search: encoder runs per-utterance (padding-free, like
-    the reference), the per-utterance search loops are dispatched one after
-    another (each fully on device)."""
+# jitted batched-search executables, keyed by (model, search knobs, shapes)
+_BATCH_EXECUTABLES = {}
+
+
+def beam_search_batch(nnet, variables, batch: List,
+                      lm: Optional[LmAdapter] = None, sos=-1, eos=-1,
+                      beam_size: int = 8, nbest: int = 1, max_len: int = -1,
+                      pad_to: int = -1, **kwargs) -> List[List[Dict]]:
+    """True batched beam search: ONE compiled program decodes the whole
+    batch — encoder runs padded+masked, the per-utterance search loops are
+    vmapped over the batch axis (JAX freezes finished lanes inside the
+    batched while_loop). Padded CTC frames are forced to certain-blank,
+    which leaves prefix scores exactly invariant, so results match the
+    per-utterance search. Callers should length-bucket utterances so only
+    a few (batch, S) shapes ever compile."""
+    param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
+    lens = [int(np.asarray(x).shape[-1]) for x in batch]
+    # pad_to lets callers pin the padded length to a bucket size so the
+    # compiled executable is reused across batches
+    S = max(max(lens), pad_to)
+    x_pad = np.stack(
+        [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
+    x_len = jnp.asarray(lens)
+    enc_out, enc_len, ctc_out = nnet.apply(variables, jnp.asarray(x_pad),
+                                           x_len, method="decode_enc")
+    T = enc_out.shape[1]
+    ml = max_len if max_len > 0 else param.max_len
+    ml = min(ml, T, param.max_len)
+    use_ctc = param.ctc_weight > 0 and ctc_out is not None
+    if use_ctc:
+        # padded frames emit blank with certainty: gamma recursions (and so
+        # all prefix scores) are unchanged by the padding
+        V = ctc_out.shape[-1]
+        tmask = jnp.arange(T)[None, :] < enc_len[:, None]
+        pad_logits = jnp.full((V,), -1e9).at[V - 1].set(0.0)
+        ctc_out = jnp.where(tmask[..., None], ctc_out, pad_logits)
+    else:
+        ctc_out = None
+
+    key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), ml,
+           use_ctc, enc_out.shape[1:], S)
+    if key not in _BATCH_EXECUTABLES:
+
+        def _run(variables, enc_out, enc_len, ctc_out):
+            def core(enc, el, ctc):
+                return _search_core(nnet, variables, enc, el, ctc, lm,
+                                    param, ml)
+
+            if ctc_out is None:
+                return jax.vmap(lambda e, el: core(e, el, None))(enc_out,
+                                                                 enc_len)
+            return jax.vmap(core)(enc_out, enc_len, ctc_out)
+
+        _BATCH_EXECUTABLES[key] = jax.jit(_run)
+    final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,
+                                                   enc_len, ctc_out))
     return [
-        beam_search(nnet, variables, x, sos=sos, eos=eos, **kwargs)
-        for x in batch
+        extract_nbest(_gather_tree(final, b), param, nbest, final=True)
+        for b in range(len(batch))
     ]
 
 

@@ -12,6 +12,7 @@ from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aps_tpu.asr.beam_search.ctc import CtcScorer
 from aps_tpu.asr.beam_search.lm import LmAdapter
@@ -46,11 +47,23 @@ def beam_search(nnet,
     if max_len <= 0:
         max_len = min(param.max_len, T)
     max_len = min(max_len, param.max_len)
+    final_state = _search_core(nnet, variables, enc_out[0], None,
+                               ctc_out[0] if ctc_out is not None else None,
+                               lm, param, max_len)
+    return extract_nbest(jax.device_get(final_state), param, nbest,
+                         final=True)
 
+
+def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
+                 param, max_len: int):
+    """Traced transformer-decoder search: enc_out T x D -> final BeamState.
+    vmap-able over utterances (see beam_search_batch)."""
+    T = enc_out.shape[0]
     K = param.beam_size
-    enc_tiled = jnp.tile(enc_out[0][None], (K, 1, 1))
+    enc_tiled = jnp.tile(enc_out[None], (K, 1, 1))
+    enc_len_tiled = None if enc_len is None else jnp.full((K,), enc_len)
     use_ctc = param.ctc_weight > 0 and ctc_out is not None
-    scorer = CtcScorer(ctc_out[0], eos=param.eos, beam_size=K) if use_ctc \
+    scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K) if use_ctc \
         else None
     state0 = init_beam_state(K, max_len, param.sos, T)
     lm_state0 = lm.init_state(K) if lm is not None else None
@@ -59,7 +72,7 @@ def beam_search(nnet,
     def dec_logits(tokens_buf, t):
         """Score the buffer, return logits at position t: K x V."""
         dec_out = nnet.apply(variables, enc_tiled, tokens_buf,
-                             method="decode_step")
+                             enc_len=enc_len_tiled, method="decode_step")
         return jnp.take_along_axis(
             dec_out, jnp.full((K, 1, 1), t, dtype=jnp.int32),
             axis=1)[:, 0]
@@ -122,8 +135,7 @@ def beam_search(nnet,
 
     loop0 = (0, state0, lm_state0, ctc_state0)
     _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
-    return extract_nbest(jax.device_get(final_state), param, nbest,
-                         final=True)
+    return final_state
 
 
 def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs):
@@ -131,8 +143,55 @@ def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs):
                        nbest=1, **kwargs)
 
 
-def beam_search_batch(nnet, variables, batch, sos=-1, eos=-1, **kwargs):
+# jitted batched-search executables, keyed by (model, search knobs, shapes)
+_BATCH_EXECUTABLES = {}
+
+
+def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
+                      beam_size: int = 8, nbest: int = 1, max_len: int = -1,
+                      pad_to: int = -1, **kwargs):
+    """Batched transformer-decoder beam search: one compiled program per
+    (batch, length-bucket) shape; the per-utterance search loops are
+    vmapped (see att.beam_search_batch for the scheme)."""
+    param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
+    lens = [int(np.asarray(x).shape[-1]) for x in batch]
+    S = max(max(lens), pad_to)
+    x_pad = np.stack(
+        [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
+    x_len = jnp.asarray(lens)
+    enc_out, enc_len, ctc_out = nnet.apply(variables, jnp.asarray(x_pad),
+                                           x_len, method="decode_enc")
+    T = enc_out.shape[1]
+    ml = max_len if max_len > 0 else param.max_len
+    ml = min(ml, T, param.max_len)
+    use_ctc = param.ctc_weight > 0 and ctc_out is not None
+    if use_ctc:
+        V = ctc_out.shape[-1]
+        tmask = jnp.arange(T)[None, :] < enc_len[:, None]
+        pad_logits = jnp.full((V,), -1e9).at[V - 1].set(0.0)
+        ctc_out = jnp.where(tmask[..., None], ctc_out, pad_logits)
+    else:
+        ctc_out = None
+
+    key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), ml,
+           use_ctc, enc_out.shape[1:], S)
+    if key not in _BATCH_EXECUTABLES:
+
+        def _run(variables, enc_out, enc_len, ctc_out):
+            def core(enc, el, ctc):
+                return _search_core(nnet, variables, enc, el, ctc, lm,
+                                    param, ml)
+
+            if ctc_out is None:
+                return jax.vmap(lambda e, el: core(e, el, None))(enc_out,
+                                                                 enc_len)
+            return jax.vmap(core)(enc_out, enc_len, ctc_out)
+
+        _BATCH_EXECUTABLES[key] = jax.jit(_run)
+    final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,
+                                                   enc_len, ctc_out))
+    gather = lambda tree, b: jax.tree_util.tree_map(lambda x: x[b], tree)
     return [
-        beam_search(nnet, variables, x, sos=sos, eos=eos, **kwargs)
-        for x in batch
+        extract_nbest(gather(final, b), param, nbest, final=True)
+        for b in range(len(batch))
     ]

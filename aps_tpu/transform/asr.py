@@ -316,8 +316,11 @@ class CmvnTransform(nn.Module):
     def exportable(self) -> bool:
         return True
 
-    def __call__(self, feats: jnp.ndarray, training: bool = False):
-        """feats: N x (C) x T x F, normalized over T (per band) or T+F."""
+    def __call__(self, feats: jnp.ndarray, training: bool = False,
+                 num_frames=None):
+        """feats: N x (C) x T x F, normalized over T (per band) or T+F.
+        num_frames (N, optional) restricts the statistics to valid frames,
+        so padded batches normalize identically to unpadded utterances."""
         if not self.norm_mean and not self.norm_var:
             return feats
         if self.gmean is not None:
@@ -327,11 +330,29 @@ class CmvnTransform(nn.Module):
                 feats = feats / self.gstd
             return feats
         axes = (-2,) if self.per_band else (-1, -2)
+        if num_frames is None:
+            if self.norm_mean:
+                feats = feats - jnp.mean(feats, axes, keepdims=True)
+                var = jnp.mean(feats**2, axes, keepdims=True)
+            else:
+                var = jnp.var(feats, axes, keepdims=True)
+            if self.norm_var:
+                feats = feats / jnp.sqrt(var + self.eps)
+            return feats
+        T = feats.shape[-2]
+        mask = jnp.arange(T)[None] < num_frames[:, None]  # N x T
+        shape = [feats.shape[0]] + [1] * (feats.ndim - 3) + [T, 1]
+        mask = mask.reshape(shape).astype(feats.dtype)
+        denom = jnp.sum(mask, axes, keepdims=True) * \
+            (1 if self.per_band else feats.shape[-1])
+        denom = jnp.maximum(denom, 1.0)
+        mean = jnp.sum(feats * mask, axes, keepdims=True) / denom
         if self.norm_mean:
-            feats = feats - jnp.mean(feats, axes, keepdims=True)
-            var = jnp.mean(feats**2, axes, keepdims=True)
+            feats = feats - mean
+            var = jnp.sum(feats**2 * mask, axes, keepdims=True) / denom
         else:
-            var = jnp.var(feats, axes, keepdims=True)
+            var = jnp.sum(
+                (feats - mean)**2 * mask, axes, keepdims=True) / denom
         if self.norm_var:
             feats = feats / jnp.sqrt(var + self.eps)
         return feats
@@ -599,6 +620,14 @@ class FeatureTransform(nn.Module):
                 continue
             if isinstance(layer, SpeedPerturbTransform):
                 feats, choice = layer(feats, training=training)
+            elif isinstance(layer, CmvnTransform) and not skip_stft and \
+                    inp_len is not None:
+                # mask the statistics so padded batches normalize exactly
+                # like unpadded utterances (batched decode == solo decode)
+                nf = self._num_frames(inp_len, choice)
+                if nf is not None:
+                    nf = jnp.minimum(nf, feats.shape[-2])
+                feats = layer(feats, training=training, num_frames=nf)
             else:
                 feats = layer(feats, training=training)
         if skip_stft:

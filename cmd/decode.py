@@ -73,6 +73,18 @@ class FasterDecoder(NnetEvaluator):
         return fn(self.nnet, self.variables, src, lm=lm, sos=self.sos,
                   eos=self.eos, **kwargs)
 
+    def run_batch(self, batch, lm=None, **kwargs):
+        """Decode a list of utterances. Uses the vmapped batched search
+        when the model family supports it (attention AEDs), otherwise
+        falls back to per-utterance compiled searches."""
+        if self.api is not None and hasattr(self.api, "beam_search_batch") \
+                and "transducer" not in self.conf["nnet"]:
+            return self.api.beam_search_batch(self.nnet, self.variables,
+                                              batch, lm=lm, sos=self.sos,
+                                              eos=self.eos, **kwargs)
+        kwargs.pop("pad_to", None)
+        return [self.run(src, lm=lm, **kwargs) for src in batch]
+
 
 def run(args):
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)

@@ -18,6 +18,16 @@ from decode import FasterDecoder, beam_search_params
 logger = get_logger(__name__)
 
 
+def quantize_dur(num_samples: int, grid: float = 1.25,
+                 base: int = 16000) -> int:
+    """Geometric duration grid: all utterances in a bucket pad to the same
+    sample count, so only a handful of beam-search programs ever compile."""
+    length = base
+    while length < num_samples:
+        length = int(length * grid)
+    return length
+
+
 def run(args):
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
     decoder = FasterDecoder(args.am, cpt_tag=args.am_tag,
@@ -32,15 +42,30 @@ def run(args):
     stdout_top, top = io_wrapper(args.best, "w")
     timer = SimpleTimer()
     tot_utts, tot_dur = 0, 0
+    # bucket utterances on a geometric duration grid; decode each full
+    # bucket as ONE compiled batched search
+    buckets = {}
+
+    def flush_bucket(entries, bucket=-1):
+        nonlocal tot_utts
+        keys = [k for k, _ in entries]
+        hyps = decoder.run_batch([s for _, s in entries], pad_to=bucket,
+                                 **kwargs)
+        for key, nbest in zip(keys, hyps):
+            trans = processor.run(nbest[0]["trans"][1:-1])
+            top.write(f"{key}\t{trans}\n")
+        tot_utts += len(entries)
+        top.flush()
+        logger.info(f"Processed {tot_utts} utterances ...")
+
     for key, src in src_reader:
-        hyp = decoder.run(src, **kwargs)[0]
-        trans = processor.run(hyp["trans"][1:-1])
-        top.write(f"{key}\t{trans}\n")
-        tot_utts += 1
-        tot_dur += len(src) / args.sr
-        if tot_utts % args.batch_size == 0:
-            top.flush()
-            logger.info(f"Processed {tot_utts} utterances ...")
+        bucket = quantize_dur(src.shape[-1], base=args.sr)
+        buckets.setdefault(bucket, []).append((key, src))
+        tot_dur += src.shape[-1] / args.sr
+        if len(buckets[bucket]) == args.batch_size:
+            flush_bucket(buckets.pop(bucket), bucket=bucket)
+    for bucket, entries in buckets.items():
+        flush_bucket(entries, bucket=bucket)
     cost = timer.elapsed() * 60
     logger.info(f"Decoded {tot_utts} utterances in {cost:.1f}s, "
                 f"RTF = {cost / max(tot_dur, 1e-6):.4f}")

@@ -189,3 +189,45 @@ def test_transducer_search(rng):
     b1 = beam_search(nnet, variables, x, beam_size=1, nbest=1,
                      len_norm=False)
     assert b[0]["score"] >= b1[0]["score"] - 1e-4
+
+
+def test_beam_search_batch_matches_single(att_model):
+    """The vmapped batched search must reproduce the per-utterance search
+    (incl. CTC joint scoring with padded frames forced to blank)."""
+    from aps_tpu.asr.beam_search.att import beam_search, beam_search_batch
+    nnet, variables, x = att_model
+    rng = np.random.default_rng(11)
+    xs = [
+        x,
+        jnp.asarray(rng.standard_normal(6400) * 0.1, dtype=jnp.float32),
+        jnp.asarray(rng.standard_normal(4800) * 0.1, dtype=jnp.float32),
+    ]
+    kwargs = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=12,
+                  ctc_weight=0.3)
+    batched = beam_search_batch(nnet, variables, xs, **kwargs)
+    assert len(batched) == len(xs)
+    for x_i, hyps in zip(xs, batched):
+        # encoder output length differs between padded/unpadded runs, so
+        # compare against a single-utterance search on the padded length
+        single = beam_search(nnet, variables, x_i, **kwargs)
+        assert [h["trans"] for h in hyps[:1]] == \
+            [h["trans"] for h in single[:1]]
+        np.testing.assert_allclose(hyps[0]["score"], single[0]["score"],
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_xfmr_beam_search_batch(xfmr_model):
+    from aps_tpu.asr.beam_search.transformer import (beam_search,
+                                                     beam_search_batch)
+    nnet, variables, x = xfmr_model
+    rng = np.random.default_rng(13)
+    xs = [x, jnp.asarray(rng.standard_normal(6400) * 0.1,
+                         dtype=jnp.float32)]
+    kwargs = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=10)
+    batched = beam_search_batch(nnet, variables, xs, **kwargs)
+    single = beam_search(nnet, variables, xs[0], **kwargs)
+    assert batched[0][0]["trans"] == single[0]["trans"]
+    np.testing.assert_allclose(batched[0][0]["score"], single[0]["score"],
+                               rtol=1e-4, atol=1e-4)
+    assert batched[1][0]["trans"][0] == SOS
+    assert batched[1][0]["trans"][-1] == EOS
