@@ -6,7 +6,10 @@ Parity surface: /root/reference/aps/asr/beam_search/transducer.py
 frame-synchronous "modified" beam search — one compiled lax loop over
 encoder frames, K hypotheses, at most one non-blank emission per frame
 (the standard TPU/GPU-friendly variant; Graves' per-frame expansion loop
-with prefix merging does not map to fixed shapes). Greedy = beam 1."""
+with prefix merging does not map to fixed shapes). Greedy = beam 1.
+Shallow LM fusion advances the LM state only on non-blank emissions.
+beam_search_batch vmaps the search over utterances (padded frames are
+frozen via enc_len) into one compiled program per length bucket."""
 
 from typing import Dict, List, NamedTuple, Optional
 
@@ -14,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aps_tpu.asr.beam_search.lm import LmAdapter
+from aps_tpu.asr.beam_search.lm import LmAdapter, RnnLmAdapter
 from aps_tpu.const import MIN_F32
 
 
@@ -26,24 +29,9 @@ class TransducerState(NamedTuple):
     hidden: tuple        # prediction net state
 
 
-def beam_search(nnet,
-                variables,
-                x: jnp.ndarray,
-                lm: Optional[LmAdapter] = None,
-                lm_weight: float = 0,
-                beam_size: int = 8,
-                nbest: int = 8,
-                len_norm: bool = True,
-                **kwargs) -> List[Dict]:
-    """Single-utterance transducer beam search. x: S or Ti x F."""
-    blank = nnet.blank
-    enc_out, enc_len = nnet.apply(variables, x[None], method="decode_enc")
-    enc_out = enc_out[0]  # T x D
-    T = enc_out.shape[0]
-    K = beam_size
-
-    # initial prediction-network state from the decoder config (setup-built
-    # submodules are not reachable on the unbound model)
+def _pred_net_state0(nnet, K: int):
+    """Initial prediction-network state from the decoder config (setup-built
+    submodules are not reachable on the unbound model)."""
     if nnet.dec_type != "rnn":
         raise NotImplementedError(
             "compiled transducer beam search currently supports RNN "
@@ -56,7 +44,18 @@ def beam_search(nnet,
         one = lambda: (jnp.zeros((K, hid)), jnp.zeros((K, hid)))
     else:
         one = lambda: jnp.zeros((K, hid))
-    hidden0 = tuple(one() for _ in range(layers))
+    return tuple(one() for _ in range(layers))
+
+
+def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
+                 beam_size: int) -> TransducerState:
+    """Traced frame-synchronous search. enc_out: T x D. Frames at
+    t >= enc_len (if given) leave the beam untouched, so the padded
+    batched search matches the unpadded per-utterance search."""
+    blank = nnet.blank
+    T = enc_out.shape[0]
+    K = beam_size
+    hidden0 = _pred_net_state0(nnet, K)
     blank_tok = jnp.full((K, 1), blank, dtype=jnp.int32)
     dec_out0, hidden0 = nnet.apply(variables, blank_tok, hidden0,
                                    method="decode_pred")
@@ -67,14 +66,34 @@ def beam_search(nnet,
         score=score0,
         dec_out=dec_out0,
         hidden=hidden0)
+    use_lm = lm is not None and lm_weight != 0
+    if use_lm:
+        if not isinstance(lm, RnnLmAdapter):
+            raise NotImplementedError(
+                "transducer LM fusion needs a state-based (RNN) adapter")
+        lm_state0 = lm.init_state(K)
+        # condition the LM as if the stream started with <blank> (the
+        # transducer has no sos; blank doubles as BOS for fusion)
+        lm_logp0, lm_state0 = lm.step(lm_state0, blank_tok[:, 0], 0)
+    else:
+        lm_logp0, lm_state0 = None, None
 
-    def frame_step(t, state):
+    def frame_step(t, carry):
+        state, lm_logp, lm_state = carry
         enc_frame = jnp.tile(enc_out[t][None], (K, 1))
         logits = nnet.apply(variables, enc_frame, state.dec_out,
                             method="decode_joint")
         logp = jax.nn.log_softmax(logits, -1)  # K x V
         V = logp.shape[-1]
-        total = state.score[:, None] + logp
+        if use_lm:
+            # LM has no blank output: pad a zero column at the blank slot
+            lm_pad = jnp.concatenate(
+                [lm_logp * lm_weight,
+                 jnp.zeros((K, V - lm_logp.shape[-1]))], -1)
+            fused = logp + lm_pad
+        else:
+            fused = logp
+        total = state.score[:, None] + fused
         flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
         beam_idx = flat_idx // V
         tok = flat_idx % V
@@ -91,17 +110,36 @@ def beam_search(nnet,
         # advance prediction net only for emitting beams
         new_dec_out, new_hidden = nnet.apply(
             variables, tok[:, None], hidden, method="decode_pred")
-        dec_out = jnp.where(emits[:, None], new_dec_out, dec_out)
-        hidden = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(
-                emits.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
-            new_hidden, hidden)
-        return TransducerState(tokens=tokens, length=length,
-                               score=flat_score, dec_out=dec_out,
-                               hidden=hidden)
+        emit_sel = lambda new, old: jnp.where(
+            emits.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+        dec_out = emit_sel(new_dec_out, dec_out)
+        hidden = jax.tree_util.tree_map(emit_sel, new_hidden, hidden)
+        new_state = TransducerState(tokens=tokens, length=length,
+                                    score=flat_score, dec_out=dec_out,
+                                    hidden=hidden)
+        if use_lm:
+            lm_logp_g = lm_logp[beam_idx]
+            lm_state_g = lm.reorder(lm_state, beam_idx)
+            new_lm_logp, new_lm_state = lm.step(lm_state_g, tok, t)
+            lm_logp = emit_sel(new_lm_logp, lm_logp_g)
+            lm_state = jax.tree_util.tree_map(emit_sel, new_lm_state,
+                                              lm_state_g)
+        new_carry = (new_state, lm_logp, lm_state)
+        if enc_len is None:
+            return new_carry
+        # freeze the beam past the utterance's valid frames
+        active = t < enc_len
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old), new_carry, carry)
 
-    final = jax.lax.fori_loop(0, T, frame_step, state0)
-    final = jax.device_get(final)
+    final, *_ = jax.lax.fori_loop(0, T, frame_step,
+                                  (state0, lm_logp0, lm_state0))
+    return final
+
+
+def _extract(final: TransducerState, blank: int, nbest: int,
+             len_norm: bool) -> List[Dict]:
+    K = final.score.shape[0]
     hyps = []
     for k in range(K):
         if float(final.score[k]) <= MIN_F32 / 2:
@@ -115,5 +153,57 @@ def beam_search(nnet,
     return hyps[:nbest]
 
 
+def beam_search(nnet,
+                variables,
+                x: jnp.ndarray,
+                lm: Optional[LmAdapter] = None,
+                lm_weight: float = 0,
+                beam_size: int = 8,
+                nbest: int = 8,
+                len_norm: bool = True,
+                **kwargs) -> List[Dict]:
+    """Single-utterance transducer beam search. x: S or Ti x F."""
+    enc_out, enc_len = nnet.apply(variables, x[None], method="decode_enc")
+    final = _search_core(nnet, variables, enc_out[0], None, lm, lm_weight,
+                         beam_size)
+    return _extract(jax.device_get(final), nnet.blank, nbest, len_norm)
+
+
 def greedy_search(nnet, variables, x, **kwargs) -> List[Dict]:
     return beam_search(nnet, variables, x, beam_size=1, nbest=1, **kwargs)
+
+
+# jitted batched-search executables, keyed by (model, knobs, shapes)
+_BATCH_EXECUTABLES = {}
+
+
+def beam_search_batch(nnet, variables, batch: List,
+                      lm: Optional[LmAdapter] = None, lm_weight: float = 0,
+                      beam_size: int = 8, nbest: int = 8,
+                      len_norm: bool = True, pad_to: int = -1,
+                      **kwargs) -> List[List[Dict]]:
+    """Batched frame-synchronous search: one compiled program per
+    (batch, length-bucket); padded frames frozen via enc_len."""
+    lens = [int(np.asarray(x).shape[-1]) for x in batch]
+    S = max(max(lens), pad_to)
+    x_pad = np.stack(
+        [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
+    x_len = jnp.asarray(lens)
+    enc_out, enc_len = nnet.apply(variables, jnp.asarray(x_pad), x_len,
+                                  method="decode_enc")
+    key = (id(nnet), id(lm), lm_weight, beam_size, enc_out.shape[1:], S)
+    if key not in _BATCH_EXECUTABLES:
+
+        def _run(variables, enc_out, enc_len):
+            return jax.vmap(lambda e, el: _search_core(
+                nnet, variables, e, el, lm, lm_weight, beam_size))(
+                    enc_out, enc_len)
+
+        _BATCH_EXECUTABLES[key] = jax.jit(_run)
+    final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,
+                                                   enc_len))
+    gather = lambda tree, b: jax.tree_util.tree_map(lambda x: x[b], tree)
+    return [
+        _extract(gather(final, b), nnet.blank, nbest, len_norm)
+        for b in range(len(batch))
+    ]

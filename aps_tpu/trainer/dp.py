@@ -152,14 +152,15 @@ class DataParallelTrainer(Trainer):
             egs["#ssr"] = ssr
 
             def loss_fn(p):
-                if mstate:
-                    out, new_mstate = task.apply(
-                        {"params": p, **mstate}, egs, training=True,
-                        rngs=rngs, mutable=list(mstate.keys()))
-                else:
-                    out = task.apply({"params": p}, egs, training=True,
-                                     rngs=rngs)
-                    new_mstate = mstate
+                with jax.default_matmul_precision(self.matmul_precision):
+                    if mstate:
+                        out, new_mstate = task.apply(
+                            {"params": p, **mstate}, egs, training=True,
+                            rngs=rngs, mutable=list(mstate.keys()))
+                    else:
+                        out = task.apply({"params": p}, egs, training=True,
+                                         rngs=rngs)
+                        new_mstate = mstate
                 return out["loss"], (out, new_mstate)
 
             (loss, (out, new_mstate)), grads = jax.value_and_grad(
@@ -181,8 +182,9 @@ class DataParallelTrainer(Trainer):
             return new_params, new_mstate, new_opt, stats, finite
 
         def eval_step(params, mstate, egs):
-            return task.apply({"params": params, **mstate}, egs,
-                              training=False)
+            with jax.default_matmul_precision(self.matmul_precision):
+                return task.apply({"params": params, **mstate}, egs,
+                                  training=False)
 
         self._step_fn = jax.jit(train_step, donate_argnums=(0, 1, 2))
         self._eval_fn = jax.jit(eval_step)

@@ -77,8 +77,13 @@ class FasterDecoder(NnetEvaluator):
         """Decode a list of utterances. Uses the vmapped batched search
         when the model family supports it (attention AEDs), otherwise
         falls back to per-utterance compiled searches."""
-        if self.api is not None and hasattr(self.api, "beam_search_batch") \
-                and "transducer" not in self.conf["nnet"]:
+        if self.api is not None and hasattr(self.api, "beam_search_batch"):
+            if "transducer" in self.conf["nnet"]:
+                keep = {k: kwargs[k] for k in
+                        ("beam_size", "nbest", "len_norm", "pad_to",
+                         "lm_weight") if k in kwargs}
+                return self.api.beam_search_batch(self.nnet, self.variables,
+                                                  batch, lm=lm, **keep)
             return self.api.beam_search_batch(self.nnet, self.variables,
                                               batch, lm=lm, sos=self.sos,
                                               eos=self.eos, **kwargs)

@@ -231,3 +231,38 @@ def test_xfmr_beam_search_batch(xfmr_model):
                                rtol=1e-4, atol=1e-4)
     assert batched[1][0]["trans"][0] == SOS
     assert batched[1][0]["trans"][-1] == EOS
+
+
+def test_transducer_batch_and_lm_fusion(rng):
+    from aps_tpu.asr.beam_search.lm import RnnLmAdapter
+    from aps_tpu.asr.beam_search.transducer import (beam_search,
+                                                    beam_search_batch)
+    nnet = aps_asr_nnet("asr@transducer")(
+        input_size=80, vocab_size=V, asr_transform=TRANSFORM,
+        enc_type="pytorch_rnn", enc_proj=32,
+        enc_kwargs={"hidden": 32, "num_layers": 1, "bidirectional": True},
+        dec_kwargs={"embed_size": 16, "jot_dim": 16, "hidden": 32,
+                    "num_layers": 1})
+    x = jnp.asarray(rng.standard_normal(8000) * 0.1, dtype=jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)}
+    y = jnp.full((1, 5), V - 1, dtype=jnp.int32)
+    variables = nnet.init(rngs, x[None], None, y, None, training=False)
+    xs = [x, jnp.asarray(rng.standard_normal(6400) * 0.1,
+                         dtype=jnp.float32)]
+    kwargs = dict(beam_size=4, nbest=2, len_norm=False)
+    batched = beam_search_batch(nnet, variables, xs, **kwargs)
+    for x_i, hyps in zip(xs, batched):
+        single = beam_search(nnet, variables, x_i, **kwargs)
+        assert hyps[0]["trans"] == single[0]["trans"]
+        np.testing.assert_allclose(hyps[0]["score"], single[0]["score"],
+                                   rtol=1e-4, atol=1e-4)
+    # shallow LM fusion changes scores but stays a valid search
+    lm = aps_asr_nnet("asr@rnn_lm")(vocab_size=V - 1, embed_size=8,
+                                    hidden_size=16, num_layers=1)
+    lm_vars = lm.init(jax.random.PRNGKey(5),
+                      jnp.zeros((1, 4), dtype=jnp.int32), None)
+    adapter = RnnLmAdapter(lm, lm_vars)
+    fused = beam_search(nnet, variables, x, lm=adapter, lm_weight=0.3,
+                        **kwargs)
+    assert len(fused) >= 1 and fused[0]["trans"][0] == V - 1

@@ -169,3 +169,13 @@ def test_ss_schedulers():
     assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
     trig = SsScheduler["trigger"](ssr=0.3, trigger=0.5)
     assert trig.step(1, 0.4) == 0 and trig.step(1, 0.6) == 0.3
+
+
+def test_trainer_matmul_precision(tmp_path):
+    """matmul_precision: bfloat16 config compiles and trains."""
+    task = build_task()
+    trainer = make_trainer(tmp_path, task, matmul_precision="bfloat16",
+                           checkpoint=str(tmp_path / "bf16"))
+    loader = SyntheticSSELoader(num_batches=3, batch=2)
+    trainer.run(loader, loader, num_epochs=1)
+    assert (tmp_path / "bf16" / "best.ckpt").exists()
