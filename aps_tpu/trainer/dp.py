@@ -145,11 +145,23 @@ class DataParallelTrainer(Trainer):
     def _build_steps(self):
         task = self.task
 
-        def train_step(params, mstate, opt_state, egs, lr, ssr, rng):
-            keys = jax.random.split(rng, len(RNG_COLLECTIONS))
-            rngs = dict(zip(RNG_COLLECTIONS, keys))
+        def train_step(params, mstate, opt_state, egs, lr, ssr, noise, rng):
+            keys = jax.random.split(rng, len(RNG_COLLECTIONS) + 1)
+            rngs = dict(zip(RNG_COLLECTIONS, keys[:-1]))
             egs = dict(egs)
             egs["#ssr"] = ssr
+            if self.weight_noise_std:
+                # gaussian weight noise (reference WeightNoiseAdder): added
+                # permanently to the parameters on scheduled steps; `noise`
+                # is a traced 0/1 flag so the schedule never recompiles
+                leaves, treedef = jax.tree_util.tree_flatten(params)
+                nkeys = jax.random.split(keys[-1], len(leaves))
+                leaves = [
+                    p + noise * self.weight_noise_std *
+                    jax.random.normal(k, p.shape, p.dtype)
+                    for p, k in zip(leaves, nkeys)
+                ]
+                params = jax.tree_util.tree_unflatten(treedef, leaves)
 
             def loss_fn(p):
                 with jax.default_matmul_precision(self.matmul_precision):
@@ -200,14 +212,25 @@ class DataParallelTrainer(Trainer):
         return stats
 
     # ------------------------------------------------------------------
+    def _weight_noise_now(self) -> bool:
+        """Weight-noise schedule (reference WeightNoiseAdder: cfg =
+        [beg, step, end], noise on every `step`-th step in [beg, end])."""
+        if not self.weight_noise_std:
+            return False
+        beg, step, end = self.weight_noise_cfg
+        if self.cur_step < beg or (end > 0 and self.cur_step > end):
+            return False
+        return (self.cur_step - beg) % max(step, 1) == 0
+
     def train_one_step(self, egs: Dict) -> bool:
         host, dev = self._split_egs(egs)
         dev = self._device_egs(dev)
         lr = jnp.float32(self.lr_scheduler.get_lr())
         ssr = jnp.float32(self.ssr)
+        noise = jnp.float32(1.0 if self._weight_noise_now() else 0.0)
         (self.params, self.mstate, self.opt_state, stats,
          finite) = self._step_fn(self.params, self.mstate, self.opt_state,
-                                 dev, lr, ssr, self._next_rng())
+                                 dev, lr, ssr, noise, self._next_rng())
         ok = bool(finite)
         stats = dict(stats)
         stats["rate"] = self.lr_scheduler.get_lr()

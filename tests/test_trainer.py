@@ -179,3 +179,15 @@ def test_trainer_matmul_precision(tmp_path):
     loader = SyntheticSSELoader(num_batches=3, batch=2)
     trainer.run(loader, loader, num_epochs=1)
     assert (tmp_path / "bf16" / "best.ckpt").exists()
+
+
+def test_trainer_weight_noise(tmp_path):
+    """Gaussian weight noise schedule trains without breaking."""
+    task = build_task()
+    trainer = make_trainer(tmp_path, task,
+                           checkpoint=str(tmp_path / "wn"),
+                           weight_noise_std=0.01,
+                           weight_noise_cfg=[0, 1, -1])
+    loader = SyntheticSSELoader(num_batches=3, batch=2)
+    trainer.run(loader, loader, num_epochs=1)
+    assert (tmp_path / "wn" / "best.ckpt").exists()
