@@ -16,7 +16,7 @@ import pickle
 import warnings
 from collections import defaultdict
 from pathlib import Path
-from typing import Dict, List, Optional, Union
+from typing import Dict, List, Optional, Tuple, Union
 
 import jax
 import numpy as np
@@ -269,6 +269,8 @@ class Trainer(object):
                  stop_on_errors: int = 32,
                  seed: int = 777,
                  matmul_precision: str = "float32",
+                 profile: str = "",
+                 profile_steps: Tuple[int, int] = (10, 15),
                  **kwargs) -> None:
         if lr_scheduler_period not in ["epoch", "step"]:
             raise ValueError(
@@ -308,6 +310,11 @@ class Trainer(object):
             raise ValueError(
                 f"Unsupported matmul_precision: {matmul_precision}")
         self.matmul_precision = matmul_precision
+        # native profiling: capture an xplane trace of steps
+        # [profile_steps) into `profile` (view with tensorboard/xprof)
+        self.profile_dir = profile
+        self.profile_steps = tuple(profile_steps)
+        self._profiling = False
 
         mode = "max" if stop_criterion == "accu" else "min"
         self.stop_on = stop_criterion
@@ -432,9 +439,26 @@ class Trainer(object):
         for egs in data_loader:
             self.valid_one_step(self.prep_egs(egs))
 
+    def _profile_tick(self) -> None:
+        if not self.profile_dir:
+            return
+        import jax.profiler
+        beg, end = self.profile_steps
+        if not self._profiling and self.cur_step == beg:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+            self.reporter.log(f"Profiler: tracing steps [{beg}, {end}) "
+                              f"into {self.profile_dir}")
+        elif self._profiling and self.cur_step >= end:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.reporter.log(f"Profiler: trace saved to "
+                              f"{self.profile_dir}")
+
     def train_epoch(self, data_loader) -> None:
         self.reporter.train()
         for egs in data_loader:
+            self._profile_tick()
             succ = self.train_one_step(self.prep_egs(egs))
             if self.detector.step(succ):
                 raise RuntimeError(
@@ -524,6 +548,7 @@ class Trainer(object):
             self.cur_epoch += 1
             self.reporter.train()
             for egs in trn_loader:
+                self._profile_tick()
                 succ = self.train_one_step(self.prep_egs(egs))
                 if self.detector.step(succ):
                     raise RuntimeError(

@@ -191,3 +191,17 @@ def test_trainer_weight_noise(tmp_path):
     loader = SyntheticSSELoader(num_batches=3, batch=2)
     trainer.run(loader, loader, num_epochs=1)
     assert (tmp_path / "wn" / "best.ckpt").exists()
+
+
+def test_trainer_profile_trace(tmp_path):
+    """profile=dir captures an xplane trace of the configured steps."""
+    task = build_task()
+    prof_dir = tmp_path / "trace"
+    trainer = make_trainer(tmp_path, task,
+                           checkpoint=str(tmp_path / "prof"),
+                           profile=str(prof_dir),
+                           profile_steps=(1, 2))
+    loader = SyntheticSSELoader(num_batches=3, batch=2)
+    trainer.run(loader, loader, num_epochs=1)
+    dumped = list(prof_dir.rglob("*.xplane.pb"))
+    assert dumped, "no xplane trace written"
