@@ -116,6 +116,15 @@ class XfmrASR(ASREncoderDecoderBase):
             else None
         return enc_out, enc_len, ctc_out
 
+    def decode_init_cache(self, batch: int, max_len: int):
+        """Incremental-decoding cache (see TorchTransformerDecoder)."""
+        return self.decoder.init_cache(batch, max_len)
+
+    def decode_step_inc(self, enc_out, tok, cache, t, enc_len=None):
+        """One incremental decoder step at position t."""
+        return self.decoder.step_inc(enc_out, tok, cache, t,
+                                     enc_len=enc_len)
+
     def decode_step(self, enc_out, prefix, prefix_len=None, enc_len=None):
         """Score the whole prefix (N x U) and return last-position logits."""
         dec_out, _ = self.decoder.step(enc_out, prefix, enc_len=enc_len,

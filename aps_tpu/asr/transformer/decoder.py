@@ -27,53 +27,81 @@ class TransformerDecoderLayer(nn.Module):
     ffn_dropout: float = 0.1
     activation: str = "relu"
 
-    @nn.compact
+    def setup(self):
+        self.self_attn = ApsMultiheadAttention(self.att_dim, self.nhead,
+                                               dropout=self.att_dropout,
+                                               name="self_attn")
+        self.cross_attn = ApsMultiheadAttention(self.att_dim, self.nhead,
+                                                dropout=self.att_dropout,
+                                                name="multihead_attn")
+        self.ffn = FeedForward(self.att_dim, self.feedforward_dim,
+                               dropout=self.ffn_dropout,
+                               activation=self.activation,
+                               name="feedforward")
+        self.norm1 = nn.LayerNorm(name="norm1")
+        self.norm2 = nn.LayerNorm(name="norm2")
+        self.norm3 = nn.LayerNorm(name="norm3")
+        self.drop = nn.Dropout(self.ffn_dropout, rng_collection="dropout")
+
+    def _cross_ffn(self, tgt, memory, memory_mask,
+                   memory_key_padding_mask, training):
+        drop = lambda x: self.drop(x, deterministic=not training)
+        skip = tgt
+        if self.pre_norm:
+            tgt = self.norm2(tgt)
+        att, _ = self.cross_attn(tgt, memory, memory,
+                                 attn_mask=memory_mask,
+                                 key_padding_mask=memory_key_padding_mask,
+                                 training=training)
+        tgt = skip + drop(att)
+        if not self.pre_norm:
+            tgt = self.norm2(tgt)
+
+        skip = tgt
+        if self.pre_norm:
+            tgt = self.norm3(tgt)
+        tgt = skip + self.ffn(tgt, training=training)
+        if not self.pre_norm:
+            tgt = self.norm3(tgt)
+        return tgt
+
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,
                  training: bool = False):
-        self_attn = ApsMultiheadAttention(self.att_dim, self.nhead,
-                                          dropout=self.att_dropout,
-                                          name="self_attn")
-        cross_attn = ApsMultiheadAttention(self.att_dim, self.nhead,
-                                           dropout=self.att_dropout,
-                                           name="multihead_attn")
-        ffn = FeedForward(self.att_dim, self.feedforward_dim,
-                          dropout=self.ffn_dropout,
-                          activation=self.activation, name="feedforward")
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
-        norm3 = nn.LayerNorm(name="norm3")
-        drop = lambda x: nn.Dropout(self.ffn_dropout,
-                                    deterministic=not training,
-                                    rng_collection="dropout")(x)
-
+        drop = lambda x: self.drop(x, deterministic=not training)
         skip = tgt
         if self.pre_norm:
-            tgt = norm1(tgt)
-        att, _ = self_attn(tgt, tgt, tgt, attn_mask=tgt_mask,
-                           key_padding_mask=tgt_key_padding_mask,
-                           training=training)
+            tgt = self.norm1(tgt)
+        att, _ = self.self_attn(tgt, tgt, tgt, attn_mask=tgt_mask,
+                                key_padding_mask=tgt_key_padding_mask,
+                                training=training)
         tgt = skip + drop(att)
         if not self.pre_norm:
-            tgt = norm1(tgt)
+            tgt = self.norm1(tgt)
+        return self._cross_ffn(tgt, memory, memory_mask,
+                               memory_key_padding_mask, training)
 
-        skip = tgt
+    def step_token(self, tok, hist, t, memory, memory_key_padding_mask):
+        """Incremental decode: process ONE token (N x 1 x D) against the
+        layer-input history buffer hist (N x Lmax x D, positions [0, t]
+        valid). Equivalent to __call__ on the prefix reading row t, but
+        the FFN/cross-att run on a single position."""
+        Lmax = hist.shape[1]
+        pos_pad = jnp.arange(Lmax)[None, :] > t  # True = masked
+        pos_pad = jnp.broadcast_to(pos_pad, hist.shape[:2])
+        skip = tok
         if self.pre_norm:
-            tgt = norm2(tgt)
-        att, _ = cross_attn(tgt, memory, memory, attn_mask=memory_mask,
-                            key_padding_mask=memory_key_padding_mask,
-                            training=training)
-        tgt = skip + drop(att)
+            q = self.norm1(tok)
+            kv = self.norm1(hist)
+        else:
+            q, kv = tok, hist
+        att, _ = self.self_attn(q, kv, kv, key_padding_mask=pos_pad,
+                                training=False)
+        tgt = skip + att
         if not self.pre_norm:
-            tgt = norm2(tgt)
-
-        skip = tgt
-        if self.pre_norm:
-            tgt = norm3(tgt)
-        tgt = skip + ffn(tgt, training=training)
-        if not self.pre_norm:
-            tgt = norm3(tgt)
-        return tgt
+            tgt = self.norm1(tgt)
+        return self._cross_ffn(tgt, memory, None,
+                               memory_key_padding_mask, False)
 
 
 class TorchTransformerDecoder(nn.Module):
@@ -129,6 +157,27 @@ class TorchTransformerDecoder(nn.Module):
         if out_idx is not None:
             out = out[:, out_idx]
         return self.output(out), tgt_emb
+
+    def init_cache(self, batch: int, max_len: int) -> jnp.ndarray:
+        """Per-layer input-history buffers for incremental decoding:
+        num_layers x N x Lmax x D."""
+        return jnp.zeros((self.num_layers, batch, max_len, self.att_dim))
+
+    def step_inc(self, enc_out, tok, cache, t, enc_len=None):
+        """Incremental decode step: tok (N,) int token at position t,
+        cache from init_cache -> (logits N x V, new cache). Equivalent to
+        step(prefix)[.., t] but O(L) per step instead of O(L^2)."""
+        mem_pad_mask = None if enc_len is None else padding_mask(
+            enc_len, enc_out.shape[1])
+        x = self.vocab_embed(tok[:, None])
+        x = self.abs_pos_enc(x, t=t, training=False)
+        hists = []
+        for i, layer in enumerate(self.layers):
+            hist = cache[i].at[:, t].set(x[:, 0])
+            hists.append(hist)
+            x = layer.step_token(x, hist, t, enc_out, mem_pad_mask)
+        out = self.final_norm(x) if self.final_norm is not None else x
+        return self.output(out[:, 0]), jnp.stack(hists)
 
     def __call__(self, enc_out, enc_len, tgt_pad, tgt_len,
                  training: bool = False) -> jnp.ndarray:

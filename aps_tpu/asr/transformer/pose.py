@@ -69,7 +69,9 @@ class InputSinPosEncoding(SinPosEncoding):
 
     @nn.compact
     def __call__(self, inp: jnp.ndarray, t: int = 0, training: bool = False):
-        pos = jnp.arange(t, t + inp.shape[1], dtype=jnp.float32)
+        # t + arange(T) instead of arange(t, t+T): t may be a traced scalar
+        # (incremental decoding inside lax loops)
+        pos = t + jnp.arange(inp.shape[1], dtype=jnp.float32)
         sin_enc = self._sin_enc(pos)
         factor = self.embed_dim**0.5 if self.scaled else 1
         out = inp * factor + sin_enc

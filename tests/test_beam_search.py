@@ -266,3 +266,26 @@ def test_transducer_batch_and_lm_fusion(rng):
     fused = beam_search(nnet, variables, x, lm=adapter, lm_weight=0.3,
                         **kwargs)
     assert len(fused) >= 1 and fused[0]["trans"][0] == V - 1
+
+
+def test_xfmr_incremental_decode_matches_full(xfmr_model, rng):
+    """decode_step_inc chained over a prefix == full-prefix decode_step."""
+    nnet, variables, x = xfmr_model
+    enc_out, enc_len, _ = nnet.apply(variables, x[None],
+                                     method="decode_enc")
+    K, L = 3, 6
+    enc = jnp.tile(enc_out, (K, 1, 1))
+    prefix = jnp.asarray(rng.integers(0, V - 1, size=(K, L)),
+                         dtype=jnp.int32)
+    # full prefix rescoring
+    full = nnet.apply(variables, enc, prefix, method="decode_step")
+    # incremental chain
+    cache = nnet.apply(variables, K, L, method="decode_init_cache")
+    incs = []
+    for t in range(L):
+        logits, cache = nnet.apply(variables, enc, prefix[:, t], cache,
+                                   t, method="decode_step_inc")
+        incs.append(logits)
+    inc = jnp.stack(incs, 1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
+                               atol=2e-4)
