@@ -58,6 +58,24 @@ def shard_egs(mesh: Mesh, egs: Dict) -> Dict:
     return out
 
 
+def tp_param_shardings(mesh: Mesh, params, min_dim: int = 256):
+    """Megatron-lite tensor parallelism via GSPMD: shard every large 2D
+    kernel's output dim over "model" and let XLA propagate/insert the
+    collectives. Embeddings (vocab x D) shard the vocab dim. Everything
+    small (biases, norms, conv kernels) stays replicated — at speech model
+    sizes the communication of finer-grained TP outweighs the memory win.
+    Returns a pytree of NamedShardings matching `params`."""
+    tp = mesh.shape["model"]
+
+    def spec_of(p):
+        if tp > 1 and getattr(p, "ndim", 0) == 2 and \
+                p.shape[1] % tp == 0 and min(p.shape) >= min_dim:
+            return NamedSharding(mesh, P(None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_of, params)
+
+
 def pad_batch_to_multiple(egs: Dict, multiple: int) -> Dict:
     """Pad the batch axis so it divides the mesh's data axis; adds a
     "#pad" count so losses can mask the dummy rows."""

@@ -25,7 +25,8 @@ import numpy as np
 import optax
 
 from aps_tpu.libs import ApsRegisters
-from aps_tpu.parallel import build_mesh, data_sharding, replicate_sharding
+from aps_tpu.parallel import (build_mesh, data_sharding,
+                              replicate_sharding, tp_param_shardings)
 from aps_tpu.trainer.base import Trainer
 
 OPTIMIZERS = {
@@ -53,9 +54,10 @@ RNG_COLLECTIONS = ("aug", "dropout", "ss")
 @ApsRegisters.trainer.register("dp")
 class DataParallelTrainer(Trainer):
 
-    def __init__(self, task, **kwargs):
+    def __init__(self, task, tensor_parallel: int = 1, **kwargs):
         super(DataParallelTrainer, self).__init__(task, **kwargs)
-        self.mesh = build_mesh()
+        self.tensor_parallel = tensor_parallel
+        self.mesh = build_mesh(model=tensor_parallel)
         self.ndev = self.mesh.devices.size
         self.params = None
         self.opt_state = None
@@ -126,15 +128,30 @@ class DataParallelTrainer(Trainer):
             else:
                 params = jax.tree_util.tree_map(jnp.asarray, loaded)
         repl = replicate_sharding(self.mesh)
-        self.params = jax.device_put(params, repl)
+        if self.tensor_parallel > 1:
+            # Megatron-lite TP: large 2D kernels shard their output dim
+            # over "model"; GSPMD propagates and inserts the collectives
+            shardings = tp_param_shardings(self.mesh, params)
+            self.params = jax.tree_util.tree_map(jax.device_put, params,
+                                                 shardings)
+        else:
+            self.params = jax.device_put(params, repl)
         if self.cpt_stats is not None and "mstate" in self.cpt_stats:
             mstate = self.cpt_stats["mstate"]
         self.mstate = jax.device_put(mstate, repl)
         if self.cpt_stats is not None and self.init_mode == "resume" and \
                 "opt_state" in self.cpt_stats:
-            self.opt_state = jax.device_put(self.cpt_stats["opt_state"], repl)
+            opt_state = self.cpt_stats["opt_state"]
         else:
-            self.opt_state = jax.device_put(self.tx.init(self.params), repl)
+            opt_state = self.tx.init(self.params)
+        if self.tensor_parallel > 1:
+            # adam moments follow the parameter shardings automatically
+            # when initialized from sharded params; restored states are
+            # placed by matching leaf shapes against the params tree
+            self.opt_state = jax.tree_util.tree_map(
+                lambda v: jax.device_put(jnp.asarray(v)), opt_state)
+        else:
+            self.opt_state = jax.device_put(opt_state, repl)
         num_params = sum(
             np.prod(p.shape)
             for p in jax.tree_util.tree_leaves(self.params)) / 1e6

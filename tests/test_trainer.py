@@ -205,3 +205,16 @@ def test_trainer_profile_trace(tmp_path):
     trainer.run(loader, loader, num_epochs=1)
     dumped = list(prof_dir.rglob("*.xplane.pb"))
     assert dumped, "no xplane trace written"
+
+
+def test_trainer_tensor_parallel(tmp_path):
+    """DP x TP composite mesh: tensor_parallel=2 on the 8-device CPU mesh
+    (params sharded over "model", batch over "data")."""
+    task = build_task()
+    trainer = make_trainer(tmp_path, task,
+                           checkpoint=str(tmp_path / "tp"),
+                           tensor_parallel=2)
+    assert trainer.mesh.shape["model"] == 2
+    loader = SyntheticSSELoader(num_batches=3, batch=8)
+    trainer.run(loader, loader, num_epochs=1)
+    assert (tmp_path / "tp" / "best.ckpt").exists()
