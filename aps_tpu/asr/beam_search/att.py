@@ -179,7 +179,9 @@ _BATCH_EXECUTABLES = {}
 def beam_search_batch(nnet, variables, batch: List,
                       lm: Optional[LmAdapter] = None, sos=-1, eos=-1,
                       beam_size: int = 8, nbest: int = 1, max_len: int = -1,
-                      pad_to: int = -1, **kwargs) -> List[List[Dict]]:
+                      pad_to: int = -1,
+                      matmul_precision: str = "default",
+                      **kwargs) -> List[List[Dict]]:
     """True batched beam search: ONE compiled program decodes the whole
     batch — encoder runs padded+masked, the per-utterance search loops are
     vmapped over the batch axis (JAX freezes finished lanes inside the
@@ -195,8 +197,9 @@ def beam_search_batch(nnet, variables, batch: List,
     x_pad = np.stack(
         [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
     x_len = jnp.asarray(lens)
-    enc_out, enc_len, ctc_out = nnet.apply(variables, jnp.asarray(x_pad),
-                                           x_len, method="decode_enc")
+    with jax.default_matmul_precision(matmul_precision):
+        enc_out, enc_len, ctc_out = nnet.apply(
+            variables, jnp.asarray(x_pad), x_len, method="decode_enc")
     T = enc_out.shape[1]
     ml = max_len if max_len > 0 else param.max_len
     ml = min(ml, T, param.max_len)
@@ -212,7 +215,7 @@ def beam_search_batch(nnet, variables, batch: List,
         ctc_out = None
 
     key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), ml,
-           use_ctc, enc_out.shape[1:], S)
+           use_ctc, enc_out.shape[1:], S, matmul_precision)
     if key not in _BATCH_EXECUTABLES:
 
         def _run(variables, enc_out, enc_len, ctc_out):
@@ -220,10 +223,11 @@ def beam_search_batch(nnet, variables, batch: List,
                 return _search_core(nnet, variables, enc, el, ctc, lm,
                                     param, ml)
 
-            if ctc_out is None:
-                return jax.vmap(lambda e, el: core(e, el, None))(enc_out,
-                                                                 enc_len)
-            return jax.vmap(core)(enc_out, enc_len, ctc_out)
+            with jax.default_matmul_precision(matmul_precision):
+                if ctc_out is None:
+                    return jax.vmap(lambda e, el: core(e, el, None))(
+                        enc_out, enc_len)
+                return jax.vmap(core)(enc_out, enc_len, ctc_out)
 
         _BATCH_EXECUTABLES[key] = jax.jit(_run)
     final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,

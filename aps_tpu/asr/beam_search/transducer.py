@@ -181,6 +181,7 @@ def beam_search_batch(nnet, variables, batch: List,
                       lm: Optional[LmAdapter] = None, lm_weight: float = 0,
                       beam_size: int = 8, nbest: int = 8,
                       len_norm: bool = True, pad_to: int = -1,
+                      matmul_precision: str = "default",
                       **kwargs) -> List[List[Dict]]:
     """Batched frame-synchronous search: one compiled program per
     (batch, length-bucket); padded frames frozen via enc_len."""
@@ -189,15 +190,18 @@ def beam_search_batch(nnet, variables, batch: List,
     x_pad = np.stack(
         [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
     x_len = jnp.asarray(lens)
-    enc_out, enc_len = nnet.apply(variables, jnp.asarray(x_pad), x_len,
-                                  method="decode_enc")
-    key = (id(nnet), id(lm), lm_weight, beam_size, enc_out.shape[1:], S)
+    with jax.default_matmul_precision(matmul_precision):
+        enc_out, enc_len = nnet.apply(variables, jnp.asarray(x_pad), x_len,
+                                      method="decode_enc")
+    key = (id(nnet), id(lm), lm_weight, beam_size,
+           enc_out.shape[1:], S, matmul_precision)
     if key not in _BATCH_EXECUTABLES:
 
         def _run(variables, enc_out, enc_len):
-            return jax.vmap(lambda e, el: _search_core(
-                nnet, variables, e, el, lm, lm_weight, beam_size))(
-                    enc_out, enc_len)
+            with jax.default_matmul_precision(matmul_precision):
+                return jax.vmap(lambda e, el: _search_core(
+                    nnet, variables, e, el, lm, lm_weight, beam_size))(
+                        enc_out, enc_len)
 
         _BATCH_EXECUTABLES[key] = jax.jit(_run)
     final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,
