@@ -32,10 +32,6 @@ class TransducerState(NamedTuple):
 def _pred_net_state0(nnet, K: int):
     """Initial prediction-network state from the decoder config (setup-built
     submodules are not reachable on the unbound model)."""
-    if nnet.dec_type != "rnn":
-        raise NotImplementedError(
-            "compiled transducer beam search currently supports RNN "
-            "prediction networks (xfmr decoder: growing prefix state)")
     dec_kwargs = dict(nnet.dec_kwargs or {})
     hid = dec_kwargs.get("hidden", 512)
     layers = dec_kwargs.get("num_layers", 3)
@@ -55,10 +51,22 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
     blank = nnet.blank
     T = enc_out.shape[0]
     K = beam_size
-    hidden0 = _pred_net_state0(nnet, K)
+    # RNN prediction nets carry a recurrent state; transformer prediction
+    # nets are stateless and rescore a fixed-size token buffer each frame
+    # (U capped: practical emission counts are far below frame counts)
+    stateful = nnet.dec_type == "rnn"
+    U = min(T + 1, 256)
     blank_tok = jnp.full((K, 1), blank, dtype=jnp.int32)
-    dec_out0, hidden0 = nnet.apply(variables, blank_tok, hidden0,
-                                   method="decode_pred")
+    if stateful:
+        hidden0 = _pred_net_state0(nnet, K)
+        dec_out0, hidden0 = nnet.apply(variables, blank_tok, hidden0,
+                                       method="decode_pred")
+    else:
+        hidden0 = ()
+        dec_out0 = nnet.apply(variables,
+                              jnp.full((K, U), blank, dtype=jnp.int32),
+                              jnp.zeros((K,), dtype=jnp.int32),
+                              method="decode_pred_fixed")
     score0 = jnp.where(jnp.arange(K) == 0, 0.0, MIN_F32)
     state0 = TransducerState(
         tokens=jnp.full((K, T + 1), blank, dtype=jnp.int32),
@@ -81,7 +89,14 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
     def frame_step(t, carry):
         state, lm_logp, lm_state = carry
         enc_frame = jnp.tile(enc_out[t][None], (K, 1))
-        logits = nnet.apply(variables, enc_frame, state.dec_out,
+        if stateful:
+            dec_cur = state.dec_out
+        else:
+            buf = jnp.concatenate([blank_tok, state.tokens[:, :U - 1]], 1)
+            dec_cur = nnet.apply(variables, buf,
+                                 jnp.minimum(state.length, U - 1),
+                                 method="decode_pred_fixed")
+        logits = nnet.apply(variables, enc_frame, dec_cur,
                             method="decode_joint")
         logp = jax.nn.log_softmax(logits, -1)  # K x V
         V = logp.shape[-1]
@@ -105,15 +120,21 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
             (jnp.arange(T + 1)[None, :] == length[:, None]) &
             emits[:, None], tok[:, None], tokens)
         length = length + emits.astype(jnp.int32)
-        hidden = jax.tree_util.tree_map(lambda h: h[beam_idx], state.hidden)
-        dec_out = state.dec_out[beam_idx]
-        # advance prediction net only for emitting beams
-        new_dec_out, new_hidden = nnet.apply(
-            variables, tok[:, None], hidden, method="decode_pred")
         emit_sel = lambda new, old: jnp.where(
             emits.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
-        dec_out = emit_sel(new_dec_out, dec_out)
-        hidden = jax.tree_util.tree_map(emit_sel, new_hidden, hidden)
+        if stateful:
+            hidden = jax.tree_util.tree_map(lambda h: h[beam_idx],
+                                            state.hidden)
+            dec_out = state.dec_out[beam_idx]
+            # advance prediction net only for emitting beams
+            new_dec_out, new_hidden = nnet.apply(
+                variables, tok[:, None], hidden, method="decode_pred")
+            dec_out = emit_sel(new_dec_out, dec_out)
+            hidden = jax.tree_util.tree_map(emit_sel, new_hidden, hidden)
+        else:
+            # stateless: next frame recomputes from the token buffer
+            hidden = state.hidden
+            dec_out = dec_cur[beam_idx]
         new_state = TransducerState(tokens=tokens, length=length,
                                     score=flat_score, dec_out=dec_out,
                                     hidden=hidden)

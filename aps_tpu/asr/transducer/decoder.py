@@ -122,3 +122,20 @@ class TorchTransformerDecoder(DecoderBase):
         tgt_mask = prep_sub_mask(hidden.shape[1])
         dec_out = self.decoder(hidden, src_mask=tgt_mask, training=False)
         return self.dec_proj(dec_out[:, -1]), hidden
+
+    def pred_fixed(self, tokens_buf, lengths):
+        """Fixed-shape prediction for compiled search loops: rescore the
+        whole (N x U) token buffer ([<blank> BOS, emissions...], blank-
+        padded) under a causal mask and read the output at the last valid
+        position (index `lengths`). Stateless: emission-count semantics
+        come from `lengths` alone. -> N x J."""
+        U = tokens_buf.shape[1]
+        emb = self.abs_pos_enc(self.vocab_embed(tokens_buf),
+                               training=False)
+        dec_out = self.decoder(emb, src_mask=prep_sub_mask(U),
+                               training=False)
+        idx = lengths.astype(jnp.int32)[:, None, None]
+        last = jnp.take_along_axis(
+            dec_out, jnp.broadcast_to(idx, (dec_out.shape[0], 1,
+                                            dec_out.shape[-1])), axis=1)
+        return self.dec_proj(last[:, 0])

@@ -33,6 +33,11 @@ class ASRTransducerBase(ASREncoderBase):
         """One prediction-network step for search loops."""
         return self.decoder.pred(pred_prev, hidden=hidden)
 
+    def decode_pred_fixed(self, tokens_buf, lengths):
+        """Fixed-shape (stateless) prediction for transformer prediction
+        networks inside compiled search loops."""
+        return self.decoder.pred_fixed(tokens_buf, lengths)
+
     def decode_joint(self, enc_frame, dec_out):
         """Joint logits: enc_frame N x D, dec_out N x J -> N x V."""
         return self.decoder.joint(self.decoder.enc_proj(enc_frame), dec_out)

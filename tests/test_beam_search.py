@@ -289,3 +289,34 @@ def test_xfmr_incremental_decode_matches_full(xfmr_model, rng):
     inc = jnp.stack(incs, 1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full),
                                atol=2e-4)
+
+
+def test_xfmr_transducer_search(rng):
+    """Compiled search with a transformer prediction network (stateless
+    fixed-buffer rescoring) + batched variant."""
+    from aps_tpu.asr.beam_search.transducer import (beam_search,
+                                                    beam_search_batch,
+                                                    greedy_search)
+    nnet = aps_asr_nnet("asr@xfmr_transducer")(
+        input_size=80, vocab_size=V, asr_transform=TRANSFORM,
+        enc_type="pytorch_rnn", enc_proj=32,
+        enc_kwargs={"hidden": 32, "num_layers": 1, "bidirectional": True},
+        dec_kwargs={"att_dim": 32, "jot_dim": 16, "num_layers": 1,
+                    "arch_kwargs": {"att_dim": 32, "nhead": 2,
+                                    "feedforward_dim": 64}})
+    x = jnp.asarray(rng.standard_normal(8000) * 0.1, dtype=jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)}
+    y = jnp.full((1, 5), V - 1, dtype=jnp.int32)
+    variables = nnet.init(rngs, x[None], None, y, None, training=False)
+    g = greedy_search(nnet, variables, x)
+    b = beam_search(nnet, variables, x, beam_size=4, nbest=2,
+                    len_norm=False)
+    assert len(g) == 1 and len(b) >= 1
+    xs = [x, jnp.asarray(rng.standard_normal(6400) * 0.1,
+                         dtype=jnp.float32)]
+    batched = beam_search_batch(nnet, variables, xs, beam_size=4, nbest=2,
+                                len_norm=False)
+    single = beam_search(nnet, variables, xs[0], beam_size=4, nbest=2,
+                         len_norm=False)
+    assert batched[0][0]["trans"] == single[0]["trans"]
