@@ -99,12 +99,21 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
         return nnet.apply(variables, tok, enc_tiled, carry, att_cache,
                           enc_len_tiled, method="decode_step")
 
+    # espnet-style end detection: once a finished hypothesis exists
+    # and no better one has finished for END_PATIENCE steps, stop early
+    END_PATIENCE = 3
+
     def cond(loop):
-        t, state, *_ = loop
-        return (t < max_len) & ~jnp.all(state.done)
+        t, state, *_rest, best_done, last_improve = loop
+        go = (t < max_len) & ~jnp.all(state.done)
+        if param.end_detect:
+            stalled = (best_done > MIN_F32 / 2) & \
+                (t - last_improve >= END_PATIENCE)
+            go = go & ~stalled
+        return go
 
     def body(loop):
-        t, state, carry, lm_state, ctc_state = loop
+        t, state, carry, lm_state, ctc_state, best_done, last_improve = loop
         tok_prev = state.tokens[:, t]
         pred, carry = dec_step(tok_prev, carry)
         am_prob = jax.nn.log_softmax(pred / param.temperature, -1)
@@ -164,10 +173,16 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
         carry = _gather_tree(carry, beam_idx)
         if lm is not None:
             lm_state = lm.reorder(lm_state, beam_idx)
-        return t + 1, state, carry, lm_state, ctc_state
+        cur_best = jnp.max(jnp.where(done, flat_score, MIN_F32))
+        improved = cur_best > best_done
+        best_done = jnp.maximum(best_done, cur_best)
+        last_improve = jnp.where(improved, t, last_improve)
+        return (t + 1, state, carry, lm_state, ctc_state, best_done,
+                last_improve)
 
     # lax.while_loop needs uniform pytrees; wrap None states as empty tuples
-    loop0 = (0, state0, carry0, lm_state0, ctc_state0)
+    loop0 = (0, state0, carry0, lm_state0, ctc_state0,
+             jnp.float32(MIN_F32), 0)
     _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
     return final_state
 

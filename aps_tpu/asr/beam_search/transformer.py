@@ -91,12 +91,22 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
             dec_out, jnp.full((K, 1, 1), t, dtype=jnp.int32),
             axis=1)[:, 0], cache
 
+    # espnet-style end detection: once a finished hypothesis exists
+    # and no better one has finished for END_PATIENCE steps, stop early
+    END_PATIENCE = 3
+
     def cond(loop):
-        t, state, *_ = loop
-        return (t < max_len) & ~jnp.all(state.done)
+        t, state, *_rest, best_done, last_improve = loop
+        go = (t < max_len) & ~jnp.all(state.done)
+        if param.end_detect:
+            stalled = (best_done > MIN_F32 / 2) & \
+                (t - last_improve >= END_PATIENCE)
+            go = go & ~stalled
+        return go
 
     def body(loop):
-        t, state, lm_state, ctc_state, cache = loop
+        (t, state, lm_state, ctc_state, cache, best_done,
+         last_improve) = loop
         tok_prev = state.tokens[:, t]
         pred, cache = dec_logits(state.tokens, t, cache)
         am_prob = jax.nn.log_softmax(pred / param.temperature, -1)
@@ -148,9 +158,15 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
         if use_inc:
             # carry the history of the selected parent beams
             cache = cache[:, beam_idx]
-        return t + 1, state, lm_state, ctc_state, cache
+        cur_best = jnp.max(jnp.where(done, flat_score, MIN_F32))
+        improved = cur_best > best_done
+        best_done = jnp.maximum(best_done, cur_best)
+        last_improve = jnp.where(improved, t, last_improve)
+        return (t + 1, state, lm_state, ctc_state, cache, best_done,
+                last_improve)
 
-    loop0 = (0, state0, lm_state0, ctc_state0, cache0)
+    loop0 = (0, state0, lm_state0, ctc_state0, cache0,
+             jnp.float32(MIN_F32), 0)
     _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
     return final_state
 

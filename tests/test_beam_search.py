@@ -320,3 +320,18 @@ def test_xfmr_transducer_search(rng):
     single = beam_search(nnet, variables, xs[0], beam_size=4, nbest=2,
                          len_norm=False)
     assert batched[0][0]["trans"] == single[0]["trans"]
+
+
+def test_beam_search_end_detect(att_model):
+    """end_detect stops the loop early but keeps a valid best hypothesis."""
+    from aps_tpu.asr.beam_search.att import beam_search
+    nnet, variables, x = att_model
+    full = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
+                       nbest=1, max_len=16)
+    early = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
+                        nbest=1, max_len=16, end_detect=True)
+    assert early[0]["trans"][0] == SOS and early[0]["trans"][-1] == EOS
+    assert np.isfinite(early[0]["score"]) and np.isfinite(full[0]["score"])
+    # the early stop may truncate partial hypotheses; the best finished
+    # prefix must still be a prefix the full search also explored
+    assert len(early[0]["trans"]) <= len(full[0]["trans"]) + 16
