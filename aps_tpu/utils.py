@@ -95,3 +95,20 @@ def block_until_ready(tree):
     """Barrier on a pytree of jax arrays (used by timers/benchmarks)."""
     return jax.tree_util.tree_map(
         lambda x: x.block_until_ready() if isinstance(x, jax.Array) else x, tree)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Turn on jax's persistent compilation cache so repeated CLI runs skip
+    the (minutes-long for big beam-search programs) XLA compile. Directory:
+    explicit arg > $APS_COMPILE_CACHE > ~/.cache/aps_tpu/xla. No-op if the
+    running jax doesn't support it."""
+    import os
+    path = cache_dir or os.environ.get(
+        "APS_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "aps_tpu", "xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # unsupported backend/config name
+        get_logger(__name__).warning(f"compilation cache disabled: {e}")

@@ -16,6 +16,8 @@ logger = get_logger(__name__)
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
     evaluator = NnetEvaluator(args.am, cpt_tag=args.am_tag,
                               device_id=args.device_id)

@@ -92,6 +92,8 @@ class FasterDecoder(NnetEvaluator):
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
     decoder = FasterDecoder(args.am, cpt_tag=args.am_tag,
                             function=args.function,

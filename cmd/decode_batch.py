@@ -29,6 +29,8 @@ def quantize_dur(num_samples: int, grid: float = 1.25,
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
     decoder = FasterDecoder(args.am, cpt_tag=args.am_tag,
                             function="beam_search",

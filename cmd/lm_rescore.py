@@ -30,6 +30,8 @@ def nn_lm_score(lm, variables, hyp, sos, eos):
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
     nbest_reader = NbestReader(args.nbest)
     vocab = load_dict(args.dict) if args.dict else None

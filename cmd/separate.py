@@ -58,6 +58,8 @@ class Separator(NnetEvaluator):
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
     sep_dir = pathlib.Path(args.sep_dir)
     sep_dir.mkdir(parents=True, exist_ok=True)

@@ -12,6 +12,8 @@ import aps_tpu.distributed as dist
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     set_seed(args.seed)
     dist.init(getattr(args, "distributed", "none"))
     conf, vocab = load_lm_conf(args.conf, args.dict)

@@ -13,6 +13,8 @@ import aps_tpu.distributed as dist
 
 
 def run(args):
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     set_seed(args.seed)
     dist.init(getattr(args, "distributed", "none"))
     conf = load_ss_conf(args.conf)
