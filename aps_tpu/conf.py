@@ -21,7 +21,7 @@ all_ss_options = required_keys + ["enh_transform", "cmd_args"]
 all_am_options = required_keys + [
     "enh_transform", "asr_transform", "cmd_args"
 ]
-all_lm_options = required_keys + ["cmd_args"]
+all_lm_options = required_keys + ["cmd_args", "sos", "eos"]
 
 
 def load_dict(dict_path: str,
@@ -72,8 +72,9 @@ def load_lm_conf(yaml_conf: str, dict_path: str) -> Tuple[Dict, Dict]:
     eos = vocab.get(EOS_TOKEN, -1)
     if sos < 0 or eos < 0:
         raise RuntimeError(f"Missing {SOS_TOKEN}/{EOS_TOKEN} in {dict_path}")
-    conf["task_conf"]["sos"] = sos
-    conf["task_conf"]["eos"] = eos
+    # sos/eos feed the LM loaders, NOT the task constructor
+    conf["sos"] = sos
+    conf["eos"] = eos
     return conf, vocab
 
 

@@ -29,8 +29,8 @@ def run(args):
                   reduction_tag="#tok",
                   other_loader_conf={
                       "vocab_dict": vocab,
-                      "sos": conf["task_conf"]["sos"],
-                      "eos": conf["task_conf"]["eos"],
+                      "sos": conf["sos"],
+                      "eos": conf["eos"],
                   })
     dump_dict(f"{args.checkpoint}/dict", vocab, reverse=False)
 

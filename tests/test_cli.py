@@ -209,3 +209,121 @@ def test_train_am_and_decode(am_workspace, tmp_path):
     proc = run_cmd(["cmd/compute_wer.py", str(out),
                     str(root / "cv_text")])
     assert "WER" in proc.stdout
+
+
+def test_cli_tools(am_workspace, tmp_path):
+    """Functional smoke of the remaining data/eval tools: gmvn, wav
+    archives, audio checks, durations, batched decode."""
+    root, conf_path = am_workspace
+    # global cmvn over transform output
+    gmvn = tmp_path / "gmvn.npy"
+    run_cmd(["cmd/compute_gmvn.py", str(root / "tr_wav.scp"), str(gmvn),
+             "--conf", str(conf_path)])
+    assert gmvn.exists()
+    # wav archive round trip
+    ark = tmp_path / "wav.ark"
+    scp = tmp_path / "wav_ark.scp"
+    run_cmd(["cmd/archive_wav.py", str(root / "tr_wav.scp"), str(ark),
+             str(scp)])
+    out_dir = tmp_path / "extracted"
+    run_cmd(["cmd/extract_wav.py", str(scp), str(out_dir)])
+    import numpy as np
+    from aps_tpu.io import read_audio
+    orig = dict(line.split() for line in open(root / "tr_wav.scp"))
+    got = read_audio(str(out_dir / "utt0.wav"))
+    ref = read_audio(orig["utt0"])
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    # audio sanity scan
+    proc = run_cmd(["cmd/check_audio.py", str(root / "tr_wav.scp")])
+    # durations
+    dur = tmp_path / "utt2dur"
+    run_cmd(["utils/wav_duration.py", str(root / "tr_wav.scp"), str(dur)])
+    assert len(open(dur).readlines()) == 12
+
+
+def test_align_and_lm_rescore(am_workspace, tmp_path):
+    """CTC forced alignment + nbest LM rescoring end to end."""
+    root, conf_path = am_workspace
+    import yaml as _yaml
+    conf = _yaml.safe_load(open(conf_path))
+    # encoder-only CTC model for alignment
+    conf["nnet"] = "asr@ctc"
+    conf["nnet_conf"] = {
+        "input_size": 40, "enc_type": "pytorch_rnn", "enc_proj": 32,
+        "enc_kwargs": {"hidden": 32, "num_layers": 1,
+                       "bidirectional": True},
+    }
+    conf["task"] = "asr@ctc"
+    conf["task_conf"] = {}
+    conf["trainer_conf"]["report_metrics"] = ["loss"]
+    ctc_conf = tmp_path / "ctc.yaml"
+    with open(ctc_conf, "w") as f:
+        _yaml.dump(conf, f)
+    cpt = tmp_path / "ctc_exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(ctc_conf),
+             "--checkpoint", str(cpt), "--batch-size", "4",
+             "--epochs", "1", "--dict", str(root / "dict"),
+             "--num-workers", "0"])
+    ali = tmp_path / "ali.text"
+    run_cmd(["cmd/align.py", str(root / "cv_wav.scp"),
+             str(root / "cv_text"), str(ali), "--am", str(cpt),
+             "--dict", str(cpt / "dict")])
+    assert len(open(ali).readlines()) == 10
+    # train a tiny LM and rescore an nbest list
+    lm_conf = {
+        "nnet": "asr@rnn_lm",
+        "nnet_conf": {"embed_size": 8, "hidden_size": 16, "num_layers": 1},
+        "task": "asr@lm",
+        "task_conf": {},
+        "data_conf": {
+            "fmt": "lm@utt",
+            "loader": {"min_token_num": 1, "tokenizer": "word"},
+            "train": {"text": str(root / "tr_text")},
+            "valid": {"text": str(root / "cv_text")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam", "optimizer_kwargs": {"lr": 1e-3},
+            "lr_scheduler": "reduce_lr", "lr_scheduler_kwargs": {},
+            "report_metrics": ["loss", "@ppl"],
+            "stop_criterion": "loss",
+        },
+    }
+    lm_yaml = tmp_path / "lm.yaml"
+    with open(lm_yaml, "w") as f:
+        _yaml.dump(lm_conf, f)
+    lm_cpt = tmp_path / "lm_exp"
+    run_cmd(["cmd/train_lm.py", "--conf", str(lm_yaml),
+             "--checkpoint", str(lm_cpt), "--batch-size", "4",
+             "--epochs", "1", "--dict", str(root / "dict"),
+             "--num-workers", "0"])
+    # nbest file: header + per-utt blocks
+    nbest = tmp_path / "nbest.text"
+    with open(nbest, "w") as f:
+        f.write("2\n")
+        for i in range(4):
+            f.write(f"utt{i}\n")
+            f.write("-1.0 2 a b\n")
+            f.write("-2.0 3 b c a\n")
+    out = tmp_path / "rescored.text"
+    run_cmd(["cmd/lm_rescore.py", str(nbest), str(out),
+             "--lm", str(lm_cpt), "--lm-weight", "0.3",
+             "--dict", str(root / "dict")])
+    assert len(open(out).readlines()) == 4
+
+
+def test_decode_batch_cli(am_workspace, tmp_path):
+    """Bucketed batched decoding through the CLI."""
+    root, conf_path = am_workspace
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "4",
+             "--epochs", "1", "--dict", str(root / "dict"),
+             "--num-workers", "0"])
+    out = tmp_path / "hyp_batch.text"
+    run_cmd(["cmd/decode_batch.py", str(root / "cv_wav.scp"), str(out),
+             "--am", str(cpt), "--beam-size", "2", "--nbest", "1",
+             "--max-len", "8", "--batch-size", "4",
+             "--dict", str(cpt / "dict")])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 10
