@@ -62,6 +62,8 @@ def beam_search(nnet,
 
 
 def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs) -> List[Dict]:
+    kwargs.pop("beam_size", None)
+    kwargs.pop("nbest", None)
     return beam_search(nnet, variables, x, sos=sos, eos=eos, beam_size=1,
                        nbest=1, **kwargs)
 

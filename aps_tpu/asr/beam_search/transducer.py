@@ -191,6 +191,8 @@ def beam_search(nnet,
 
 
 def greedy_search(nnet, variables, x, **kwargs) -> List[Dict]:
+    kwargs.pop("beam_size", None)
+    kwargs.pop("nbest", None)
     return beam_search(nnet, variables, x, beam_size=1, nbest=1, **kwargs)
 
 

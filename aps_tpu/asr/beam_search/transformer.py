@@ -172,6 +172,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
 
 
 def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs):
+    kwargs.pop("beam_size", None)
+    kwargs.pop("nbest", None)
     return beam_search(nnet, variables, x, sos=sos, eos=eos, beam_size=1,
                        nbest=1, **kwargs)
 

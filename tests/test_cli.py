@@ -327,3 +327,54 @@ def test_decode_batch_cli(am_workspace, tmp_path):
              "--dict", str(cpt / "dict")])
     lines = open(out).read().strip().split("\n")
     assert len(lines) == 10
+
+
+def test_decode_with_lm_fusion(am_workspace, tmp_path):
+    """decode.py with shallow NN LM fusion + nbest dump + greedy mode."""
+    root, conf_path = am_workspace
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "4",
+             "--epochs", "1", "--dict", str(root / "dict"),
+             "--num-workers", "0"])
+    import yaml as _yaml
+    lm_conf = {
+        "nnet": "asr@rnn_lm",
+        "nnet_conf": {"embed_size": 8, "hidden_size": 16, "num_layers": 1},
+        "task": "asr@lm", "task_conf": {},
+        "data_conf": {
+            "fmt": "lm@utt",
+            "loader": {"min_token_num": 1, "tokenizer": "word"},
+            "train": {"text": str(root / "tr_text")},
+            "valid": {"text": str(root / "cv_text")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam", "optimizer_kwargs": {"lr": 1e-3},
+            "lr_scheduler": "reduce_lr", "lr_scheduler_kwargs": {},
+            "report_metrics": ["loss", "@ppl"], "stop_criterion": "loss",
+        },
+    }
+    lm_yaml = tmp_path / "lm.yaml"
+    with open(lm_yaml, "w") as f:
+        _yaml.dump(lm_conf, f)
+    lm_cpt = tmp_path / "lm_exp"
+    run_cmd(["cmd/train_lm.py", "--conf", str(lm_yaml),
+             "--checkpoint", str(lm_cpt), "--batch-size", "4",
+             "--epochs", "1", "--dict", str(root / "dict"),
+             "--num-workers", "0"])
+    out = tmp_path / "hyp_lm.text"
+    nbest = tmp_path / "nbest.text"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
+             "--am", str(cpt), "--lm", str(lm_cpt), "--lm-weight", "0.2",
+             "--beam-size", "2", "--nbest", "2", "--max-len", "8",
+             "--dump-nbest", str(nbest), "--dict", str(cpt / "dict")])
+    assert len(open(out).readlines()) == 10
+    from aps_tpu.io import NbestReader
+    reader = NbestReader(str(nbest))
+    assert len(reader) == 10
+    # greedy mode
+    out_g = tmp_path / "hyp_greedy.text"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out_g),
+             "--am", str(cpt), "--function", "greedy_search",
+             "--max-len", "8", "--dict", str(cpt / "dict")])
+    assert len(open(out_g).readlines()) == 10
