@@ -378,3 +378,36 @@ def test_decode_with_lm_fusion(am_workspace, tmp_path):
              "--am", str(cpt), "--function", "greedy_search",
              "--max-len", "8", "--dict", str(cpt / "dict")])
     assert len(open(out_g).readlines()) == 10
+
+
+def test_average_checkpoint_and_export(tmp_path):
+    """Parameter averaging over epoch checkpoints + StableHLO export CLI
+    on a toy rt_sse model."""
+    run_cmd(["demos/real_time_enhancement/python/make_toy_checkpoint.py",
+             str(tmp_path / "cpt"), "--num-layers", "1", "--lctx", "1",
+             "--rctx", "1"])
+    # fake epoch checkpoints: copies of best.ckpt
+    import shutil
+    for n in (1, 2, 3):
+        shutil.copy(tmp_path / "cpt" / "best.ckpt",
+                    tmp_path / "cpt" / f"epoch.{n}.ckpt")
+    avg = tmp_path / "cpt" / "avg.ckpt"
+    run_cmd(["cmd/average_checkpoint.py", str(tmp_path / "cpt"), str(avg),
+             "--beg", "1", "--end", "3"])
+    assert avg.exists()
+    # averaging identical checkpoints must reproduce the weights
+    import pickle
+    import numpy as np
+    ref = pickle.load(open(tmp_path / "cpt" / "best.ckpt", "rb"))["params"]
+    got = pickle.load(open(avg, "rb"))["params"]
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # StableHLO export
+    out_dir = tmp_path / "export"
+    run_cmd(["cmd/export.py", str(tmp_path / "cpt"), str(out_dir),
+             "--function", "mask_predict", "--num-frames", "3",
+             "--num-bins", "257"])
+    assert (out_dir / "model.stablehlo").exists()
+    assert (out_dir / "model.json").exists()
