@@ -251,3 +251,33 @@ def test_enh_att_asr(rng, enh_type):
                                                training=True)
     assert dec_out.shape[:2] == (2, 6)
     assert np.isfinite(np.asarray(dec_out)).all()
+
+
+def test_encoder_remat_gradients_match(rng):
+    """remat=true rematerializes layers in backward: same values/grads."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from aps_tpu.asr.transformer.impl import get_xfmr_encoder
+
+    kwargs = dict(att_dim=32, nhead=2, feedforward_dim=64,
+                  att_dropout=0.0, ffn_dropout=0.0)
+    enc = get_xfmr_encoder("xfmr", "abs", 2, dict(kwargs))
+    enc_remat = get_xfmr_encoder("xfmr", "abs", 2,
+                                 dict(kwargs, remat=True))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32)) * 0.1,
+                    dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, module):
+        out = module.apply(params, x, training=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out**2)
+
+    v0, g0 = jax.value_and_grad(loss)(variables, enc)
+    v1, g1 = jax.value_and_grad(loss)(variables, enc_remat)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
