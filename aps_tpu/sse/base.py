@@ -40,14 +40,13 @@ def tf_masking(mix_stft: jnp.ndarray,
     assert src_mask.ndim in (3, 4)
     if mix_stft.ndim == 5:
         mix_stft = mix_stft[:, channel]
-    mix = mix_stft[..., 0] + 1j * mix_stft[..., 1]
+    # real-pair complex multiply: some TPU runtimes lack complex64 support
+    mr, mi = mix_stft[..., 0], mix_stft[..., 1]
     if src_mask.ndim == 4:
         assert src_mask.shape[-1] == 2
-        mask = src_mask[..., 0] + 1j * src_mask[..., 1]
-    else:
-        mask = src_mask
-    enh = mix * mask
-    return jnp.stack([enh.real, enh.imag], -1)
+        kr, ki = src_mask[..., 0], src_mask[..., 1]
+        return jnp.stack([mr * kr - mi * ki, mr * ki + mi * kr], -1)
+    return jnp.stack([mr * src_mask, mi * src_mask], -1)
 
 
 class SSEBase(nn.Module):

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aps_tpu.const import EPSILON
-from aps_tpu.transform.utils import _stft_geometry, make_window
+from aps_tpu.transform.utils import _dft_matrices, _idft_matrices, _stft_geometry, make_window
 
 
 class StreamingSTFT(object):
@@ -39,10 +39,14 @@ class StreamingSTFT(object):
     def step(self, frame: jnp.ndarray, return_polar: bool = False,
              eps: float = EPSILON) -> jnp.ndarray:
         """frame: N x (C) x win_length -> N x (C) x F x 2."""
-        spec = jnp.fft.rfft(frame * self.w, n=self.fft_size, axis=-1)
+        dc, ds = _dft_matrices(self.fft_size, self.win_length)
+        buf = frame * self.w
+        real = jnp.matmul(buf, dc)
+        imag = jnp.matmul(buf, ds)
         if self.normalized:
-            spec = spec / math.sqrt(self.fft_size)
-        out = jnp.stack([spec.real, spec.imag], -1)
+            real = real / math.sqrt(self.fft_size)
+            imag = imag / math.sqrt(self.fft_size)
+        out = jnp.stack([real, imag], -1)
         if return_polar:
             mag = jnp.sqrt(jnp.sum(out**2, -1) + eps)
             pha = jnp.arctan2(out[..., 1], out[..., 0])
@@ -96,9 +100,8 @@ class StreamingiSTFT(object):
             imag = frame[..., 0] * jnp.sin(frame[..., 1])
         else:
             real, imag = frame[..., 0], frame[..., 1]
-        spec = real + 1j * imag
-        wav = jnp.fft.irfft(spec, n=self.fft_size,
-                            axis=-1)[..., :self.win_length]
+        icos, isin = _idft_matrices(self.fft_size, self.win_length)
+        wav = jnp.matmul(real, icos) + jnp.matmul(imag, isin)
         if self.normalized:
             wav = wav * math.sqrt(self.fft_size)
         wav = wav * self.w

@@ -183,13 +183,35 @@ def num_frames(wav_len, frame_len: int, frame_hop: int,
 
 
 @lru_cache(maxsize=8)
+def _idft_matrices(fft_size: int, win_length: int):
+    """(F x win_length) cos/sin inverse real-DFT matrices: the one-sided
+    inverse x[n] = sum_k w_k (re_k cos - im_k sin) / N with w_0 = w_N/2 = 1
+    and w_k = 2 otherwise, truncated to win_length output samples. Cached
+    as numpy (see _dft_matrices)."""
+    F = fft_size // 2 + 1
+    n = np.arange(win_length)
+    k = np.arange(F)
+    ang = 2.0 * np.pi * np.outer(k, n) / fft_size
+    w = np.full((F, 1), 2.0)
+    w[0] = 1.0
+    if fft_size % 2 == 0:
+        w[-1] = 1.0
+    cos_m = (w * np.cos(ang) / fft_size).astype(np.float32)
+    sin_m = (-w * np.sin(ang) / fft_size).astype(np.float32)
+    return cos_m, sin_m
+
+
+@lru_cache(maxsize=8)
 def _dft_matrices(fft_size: int, win_length: int):
-    """(win_length x F) cos/sin real-DFT matrices, F = fft_size//2 + 1."""
+    """(win_length x F) cos/sin real-DFT matrices, F = fft_size//2 + 1.
+    Cached as NUMPY: caching device arrays across jit traces makes jax
+    pull them back to host when embedding them as constants, which some
+    backends' transfer paths reject."""
     n = np.arange(win_length)
     k = np.arange(fft_size // 2 + 1)
     ang = -2.0 * np.pi * np.outer(n, k) / fft_size
-    return (jnp.asarray(np.cos(ang), dtype=jnp.float32),
-            jnp.asarray(np.sin(ang), dtype=jnp.float32))
+    return (np.cos(ang).astype(np.float32),
+            np.sin(ang).astype(np.float32))
 
 
 def forward_stft(wav: jnp.ndarray,
@@ -263,13 +285,15 @@ def inverse_stft(transform: jnp.ndarray,
         imag = transform[..., 0] * jnp.sin(transform[..., 1])
     else:
         real, imag = transform[..., 0], transform[..., 1]
-    spec = real + 1j * imag
     # N x F x T -> N x T x F
-    spec = jnp.swapaxes(spec, -1, -2)
+    real = jnp.swapaxes(real, -1, -2)
+    imag = jnp.swapaxes(imag, -1, -2)
     if not onesided:
-        spec = spec[..., :fft_size // 2 + 1]
-    # N x T x fft_size, truncated to the analysis window length
-    frames = jnp.fft.irfft(spec, n=fft_size, axis=-1)[..., :win_length]
+        real = real[..., :fft_size // 2 + 1]
+        imag = imag[..., :fft_size // 2 + 1]
+    # inverse one-sided DFT as two matmuls (no FFT op needed on device)
+    icos, isin = _idft_matrices(fft_size, win_length)
+    frames = jnp.matmul(real, icos) + jnp.matmul(imag, isin)
     if normalized:
         frames = frames * math.sqrt(fft_size)
     frames = frames * win
