@@ -31,11 +31,24 @@ class Separator(NnetEvaluator):
                 lambda x: x.astype(self.dtype)
                 if x.dtype == jnp.float32 else x, self.variables)
 
-    def run(self, src, chunk_hop=-1, chunk_len=-1, mode="time"):
-        """src: S (or C x S) numpy -> separated signal(s)."""
+    def run(self, src, chunk_hop=-1, chunk_len=-1, mode="time",
+            pad_grid: float = 1.25):
+        """src: S (or C x S) numpy -> separated signal(s). pad_grid > 1
+        zero-pads the input onto a geometric length grid so only a few
+        programs ever compile across a test set (outputs sliced back to
+        the true length); set <= 1 for exact per-length compilation."""
         src = jnp.asarray(src, dtype=self.dtype)
         N = src.shape[-1]
         if chunk_len <= 0 or N <= chunk_len:
+            if pad_grid > 1:
+                from aps_tpu.loader.utils import quantize_len
+                S = quantize_len(N, floor=16000, factor=pad_grid)
+                widths = [(0, 0)] * (src.ndim - 1) + [(0, S - N)]
+                sep = self.apply(jnp.pad(src, widths), mode=mode,
+                                 method="infer")
+                if isinstance(sep, (list, tuple)):
+                    return [s[..., :N] for s in sep]
+                return sep[..., :N]
             return self.apply(src, mode=mode, method="infer")
         lctx = (chunk_len - chunk_hop) // 2
         rctx = chunk_len - chunk_hop - lctx
@@ -71,7 +84,8 @@ def run(args):
     scps = {}
     for key, mix in reader:
         sep = separator.run(mix, chunk_hop=args.chunk_hop,
-                            chunk_len=args.chunk_len)
+                            chunk_len=args.chunk_len,
+                            pad_grid=args.pad_grid)
         if isinstance(sep, (list, tuple)):
             for i, s in enumerate(sep):
                 path = sep_dir / f"spk{i + 1}" / f"{key}.wav"
@@ -109,4 +123,7 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="bfloat16 is much faster on TPU")
+    parser.add_argument("--pad-grid", type=float, default=1.25,
+                        help="geometric input-length grid (compile reuse);"
+                        " <= 1 disables padding")
     run(parser.parse_args())
