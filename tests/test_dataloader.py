@@ -176,3 +176,55 @@ def test_simu_cmd(tmp_path, rng):
     assert len(batches) >= 1
     assert batches[0]["mix"].shape == (1, 8000)
     assert len(batches[0]["ref"]) == 2
+
+
+def test_se_config_loader(tmp_path, rng):
+    """json-spec simulation loader (se@config): hdf5 speaker slices +
+    sdr mixing per mixture spec (schema of the reference's
+    aps/loader/se/config.py)."""
+    import json
+    import h5py
+    from aps_tpu.const import MAX_INT16
+    sr = 16000
+    ark = tmp_path / "audio.h5"
+    wav = (rng.standard_normal(2 * sr) * 0.1 * MAX_INT16).astype(
+        np.float32)
+    with h5py.File(ark, "w") as f:
+        f.create_dataset("wav", data=wav)
+    addr = lambda beg, end: f"{ark}:wav:{beg}:{end}"
+    specs = []
+    for i in range(3):
+        specs.append({
+            "key": f"mix{i}",
+            "length": 8000,
+            "num_channels": 1,
+            "num_speakers": 2,
+            "speakers": [
+                {"utt": addr(0, 8000), "sdr": 0, "offset": 0},
+                {"utt": addr(4000, 12000), "sdr": -2, "offset": 0},
+            ],
+        })
+    cfg = tmp_path / "simu.json"
+    cfg.write_text(json.dumps(specs))
+    loader = aps_dataloader(fmt="se@config", simu_cfg=str(cfg),
+                            single_channel=True, chunk_size=8000,
+                            max_batch_size=2, num_workers=0)
+    batches = list(loader)
+    assert len(batches) >= 1
+    egs = batches[0]
+    assert egs["mix"].shape[-1] == 8000
+    # 2 speaker references + the appended noise reference
+    assert len(egs["ref"]) == 3
+    assert np.isfinite(np.asarray(egs["mix"])).all()
+
+
+def test_add_room_response(rng):
+    """RIR convolution keeps shape and stays finite."""
+    from aps_tpu.io.audio import add_room_response
+    spk = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    rir = np.zeros((2, 256), dtype=np.float32)
+    rir[:, 0] = 1.0
+    rir[:, 100] = 0.4
+    revb, early, p = add_room_response(spk, rir, sr=16000)
+    assert revb.shape == (2, 4000)
+    assert np.isfinite(revb).all() and np.isfinite(p)
