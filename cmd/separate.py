@@ -69,6 +69,29 @@ class Separator(NnetEvaluator):
             beg += chunk_hop
         return stitcher.stitch(chunks, N)
 
+    def run_batch(self, srcs, pad_grid: float = 1.25):
+        """Batched separation: stack mono utterances padded onto the
+        geometric grid, run the (training-interface) batch forward once.
+        Returns per-utterance output lists sliced to true lengths. The
+        zero padding can slightly perturb the last receptive field of
+        shorter utterances; use batch size 1 for exact evaluation."""
+        from aps_tpu.loader.utils import quantize_len
+        lens = [int(np.asarray(s).shape[-1]) for s in srcs]
+        S = quantize_len(max(lens), floor=16000,
+                         factor=pad_grid if pad_grid > 1 else 1.0)
+        batch = jnp.stack([
+            jnp.pad(jnp.asarray(s, dtype=self.dtype), (0, S - l))
+            for s, l in zip(srcs, lens)
+        ])
+        sep = self.apply(batch, training=False)
+        outs = []
+        for b, l in enumerate(lens):
+            if isinstance(sep, (list, tuple)):
+                outs.append([s[b, ..., :l] for s in sep])
+            else:
+                outs.append(sep[b, ..., :l])
+        return outs
+
 
 def run(args):
     from aps_tpu.utils import enable_compilation_cache
@@ -82,10 +105,8 @@ def run(args):
     timer = SimpleTimer()
     tot_dur = 0
     scps = {}
-    for key, mix in reader:
-        sep = separator.run(mix, chunk_hop=args.chunk_hop,
-                            chunk_len=args.chunk_len,
-                            pad_grid=args.pad_grid)
+
+    def emit(key, sep):
         if isinstance(sep, (list, tuple)):
             for i, s in enumerate(sep):
                 path = sep_dir / f"spk{i + 1}" / f"{key}.wav"
@@ -95,7 +116,27 @@ def run(args):
             path = sep_dir / f"{key}.wav"
             write_audio(str(path), np.asarray(sep), sr=args.sr)
             scps.setdefault("wav", []).append((key, path))
+
+    pending = []
+    for key, mix in reader:
         tot_dur += mix.shape[-1] / args.sr
+        if args.batch_size > 1 and mix.ndim == 1 and args.chunk_len <= 0:
+            pending.append((key, mix))
+            if len(pending) == args.batch_size:
+                outs = separator.run_batch([m for _, m in pending],
+                                           pad_grid=args.pad_grid)
+                for (k, _), sep in zip(pending, outs):
+                    emit(k, sep)
+                pending = []
+            continue
+        emit(key, separator.run(mix, chunk_hop=args.chunk_hop,
+                                chunk_len=args.chunk_len,
+                                pad_grid=args.pad_grid))
+    if pending:
+        outs = separator.run_batch([m for _, m in pending],
+                                   pad_grid=args.pad_grid)
+        for (k, _), sep in zip(pending, outs):
+            emit(k, sep)
     # index the outputs so scoring tools can consume them directly
     for name, entries in scps.items():
         with open(sep_dir / f"{name}.scp", "w") as fd:
@@ -126,4 +167,7 @@ if __name__ == "__main__":
     parser.add_argument("--pad-grid", type=float, default=1.25,
                         help="geometric input-length grid (compile reuse);"
                         " <= 1 disables padding")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="utterances per batched forward (mono, whole-"
+                        "utterance mode only; 1 = exact per-utterance)")
     run(parser.parse_args())

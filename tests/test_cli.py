@@ -114,6 +114,15 @@ def test_train_ss_and_separate(sse_workspace, tmp_path):
                     f"{root}/cv_spk1.scp,{root}/cv_spk2.scp",
                     "--metric", "sisnr"])
     assert "Total:" in proc.stdout
+    # batched separation matches per-utterance (equal-length inputs)
+    sep_b = tmp_path / "sep_batched"
+    run_cmd(["cmd/separate.py", str(root / "cv_mix.scp"), str(sep_b),
+             "--checkpoint", str(cpt), "--batch-size", "4"])
+    from aps_tpu.io import read_audio
+    a = read_audio(str(sep_dir / "spk1" / "utt0.wav"))
+    b = read_audio(str(sep_b / "spk1" / "utt0.wav"))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
 
 
 @pytest.fixture(scope="module")
