@@ -24,6 +24,13 @@ class Separator(NnetEvaluator):
         super(Separator, self).__init__(cpt_dir, cpt_tag=cpt_tag,
                                         device_id=device_id)
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        # jitted entry points (compiled once per input shape; cached across
+        # processes by the persistent compilation cache)
+        self._jit_infer = jax.jit(
+            lambda v, m: self.nnet.apply(v, m, mode="time",
+                                         method="infer"))
+        self._jit_fwd = jax.jit(
+            lambda v, m: self.nnet.apply(v, m, training=False))
         if self.dtype != jnp.float32:
             # bf16 inference: ~76x faster than f32 on TPU v5e for conv
             # models at <0.1% output deviation
@@ -39,17 +46,18 @@ class Separator(NnetEvaluator):
         the true length); set <= 1 for exact per-length compilation."""
         src = jnp.asarray(src, dtype=self.dtype)
         N = src.shape[-1]
+        infer = (self._jit_infer if mode == "time" else
+                 lambda v, m: self.apply(v, m, mode=mode, method="infer"))
         if chunk_len <= 0 or N <= chunk_len:
             if pad_grid > 1:
                 from aps_tpu.loader.utils import quantize_len
                 S = quantize_len(N, floor=16000, factor=pad_grid)
                 widths = [(0, 0)] * (src.ndim - 1) + [(0, S - N)]
-                sep = self.apply(jnp.pad(src, widths), mode=mode,
-                                 method="infer")
+                sep = infer(self.variables, jnp.pad(src, widths))
                 if isinstance(sep, (list, tuple)):
                     return [s[..., :N] for s in sep]
                 return sep[..., :N]
-            return self.apply(src, mode=mode, method="infer")
+            return infer(self.variables, src)
         lctx = (chunk_len - chunk_hop) // 2
         rctx = chunk_len - chunk_hop - lctx
         stitcher = ChunkStitcher(chunk_hop, lctx, rctx)
@@ -62,7 +70,7 @@ class Separator(NnetEvaluator):
                 pad = chunk_len - (end - beg)
                 widths = [(0, 0)] * (seg.ndim - 1) + [(0, pad)]
                 seg = jnp.pad(seg, widths)
-            sep = self.apply(seg, mode=mode, method="infer")
+            sep = infer(self.variables, seg)
             chunks.append([np.asarray(s) for s in sep]
                           if isinstance(sep, (list, tuple))
                           else np.asarray(sep))
@@ -83,7 +91,7 @@ class Separator(NnetEvaluator):
             jnp.pad(jnp.asarray(s, dtype=self.dtype), (0, S - l))
             for s, l in zip(srcs, lens)
         ])
-        sep = self.apply(batch, training=False)
+        sep = self._jit_fwd(self.variables, batch)
         outs = []
         for b, l in enumerate(lens):
             if isinstance(sep, (list, tuple)):
