@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aps_tpu.asr.beam_search.lm import LmAdapter, RnnLmAdapter
+from aps_tpu.asr.beam_search.utils import jit_apply
 from aps_tpu.const import MIN_F32
 
 
@@ -184,7 +185,8 @@ def beam_search(nnet,
                 len_norm: bool = True,
                 **kwargs) -> List[Dict]:
     """Single-utterance transducer beam search. x: S or Ti x F."""
-    enc_out, enc_len = nnet.apply(variables, x[None], method="decode_enc")
+    enc_out, enc_len = jit_apply(nnet, variables, x[None],
+                                 method="decode_enc")
     final = _search_core(nnet, variables, enc_out[0], None, lm, lm_weight,
                          beam_size)
     return _extract(jax.device_get(final), nnet.blank, nbest, len_norm)
@@ -214,8 +216,8 @@ def beam_search_batch(nnet, variables, batch: List,
         [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
     x_len = jnp.asarray(lens)
     with jax.default_matmul_precision(matmul_precision):
-        enc_out, enc_len = nnet.apply(variables, jnp.asarray(x_pad), x_len,
-                                      method="decode_enc")
+        enc_out, enc_len = jit_apply(nnet, variables, jnp.asarray(x_pad),
+                                     x_len, method="decode_enc")
     key = (id(nnet), id(lm), lm_weight, beam_size,
            enc_out.shape[1:], S, matmul_precision)
     if key not in _BATCH_EXECUTABLES:

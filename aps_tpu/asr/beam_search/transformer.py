@@ -19,6 +19,7 @@ import numpy as np
 from aps_tpu.asr.beam_search.ctc import CtcScorer
 from aps_tpu.asr.beam_search.lm import LmAdapter
 from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
+                                           jit_apply,
                                            apply_eos_threshold, disable_unk,
                                            extract_nbest, init_beam_state,
                                            mask_finished_scores)
@@ -43,8 +44,8 @@ def beam_search(nnet,
                 max_len: int = -1,
                 **kwargs) -> List[Dict]:
     param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
-    enc_out, enc_len, ctc_out = nnet.apply(variables, x[None],
-                                           method="decode_enc")
+    enc_out, enc_len, ctc_out = jit_apply(nnet, variables, x[None],
+                                          method="decode_enc")
     T = enc_out.shape[1]
     if max_len <= 0:
         max_len = min(param.max_len, T)
@@ -197,8 +198,9 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
         [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
     x_len = jnp.asarray(lens)
     with jax.default_matmul_precision(matmul_precision):
-        enc_out, enc_len, ctc_out = nnet.apply(
-            variables, jnp.asarray(x_pad), x_len, method="decode_enc")
+        enc_out, enc_len, ctc_out = jit_apply(
+            nnet, variables, jnp.asarray(x_pad), x_len,
+            method="decode_enc")
     T = enc_out.shape[1]
     ml = max_len if max_len > 0 else param.max_len
     ml = min(ml, T, param.max_len)

@@ -136,3 +136,20 @@ def extract_nbest(state: BeamState, param: BeamSearchParam, nbest: int,
         })
     hyps = sorted(hyps, key=lambda h: h["score"], reverse=True)
     return hyps[:nbest]
+
+
+# jitted nnet.apply entry points, keyed by (model, method): decoders call
+# the encoder once per utterance/bucket — eager dispatch costs a device
+# round trip per op on remote-device setups
+_APPLY_EXECUTABLES = {}
+
+
+def jit_apply(nnet, variables, *args, method: str):
+    import jax
+
+    # ambient matmul precision is baked in at trace time -> part of the key
+    key = (id(nnet), method, jax.config.jax_default_matmul_precision)
+    if key not in _APPLY_EXECUTABLES:
+        _APPLY_EXECUTABLES[key] = jax.jit(
+            lambda v, *a: nnet.apply(v, *a, method=method))
+    return _APPLY_EXECUTABLES[key](variables, *args)
