@@ -35,9 +35,16 @@ def run(args):
         if key not in txt_reader:
             continue
         seq = processor.run(txt_reader[key])
-        logits, _ = evaluator.nnet.apply(evaluator.variables,
-                                         jnp.asarray(wav)[None],
-                                         method="ctc_logits")
+        from aps_tpu.asr.beam_search.utils import jit_apply
+        from aps_tpu.loader.utils import quantize_len
+        # pad onto the geometric grid: one compiled program per bucket
+        S = wav.shape[-1]
+        wav = np.pad(wav, (0, quantize_len(S, floor=16000) - S))
+        logits, n_frames = jit_apply(evaluator.nnet, evaluator.variables,
+                                     jnp.asarray(wav)[None],
+                                     jnp.asarray([S]),
+                                     method="ctc_logits")
+        logits = logits[:, :int(n_frames[0])]
         out = api.viterbi_align(logits[0], np.asarray(seq))
         ali = " ".join(map(str, out["align"]))
         ali_fd.write(f"{key} {out['score']:.3f} {ali}\n")

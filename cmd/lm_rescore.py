@@ -18,11 +18,22 @@ from aps_tpu.utils import get_logger
 logger = get_logger(__name__)
 
 
+_LM_EXECUTABLES = {}
+
+
 def nn_lm_score(lm, variables, hyp, sos, eos):
-    """ln p(hyp) under a NN LM."""
-    seq = jnp.asarray([[sos] + hyp])
-    out, _ = lm.apply(variables, seq, training=False)
-    logp = jax.nn.log_softmax(out[0], -1)
+    """ln p(hyp) under a NN LM (padded to a small length grid so only a
+    few programs compile across the nbest file)."""
+    L = len(hyp) + 1
+    Lp = max(8, -(-L // 8) * 8)
+    seq = np.full((1, Lp), eos, dtype=np.int64)
+    seq[0, 0] = sos
+    seq[0, 1:L] = hyp
+    key = (id(lm), Lp)
+    if key not in _LM_EXECUTABLES:
+        _LM_EXECUTABLES[key] = jax.jit(lambda v, s: jax.nn.log_softmax(
+            lm.apply(v, s, training=False)[0][0], -1))
+    logp = np.asarray(_LM_EXECUTABLES[key](variables, jnp.asarray(seq)))
     score = 0.0
     for n, w in enumerate(hyp + [eos]):
         score += float(logp[n, w])
