@@ -56,12 +56,27 @@ class FasterDecoder(NnetEvaluator):
     def run(self, src, lm=None, **kwargs):
         src = jnp.asarray(src)
         if self.api is None:
-            # encoder-only CTC model: prefix beam search
+            # encoder-only CTC model: prefix beam search; wave padded onto
+            # the geometric grid, logits through a cached jitted apply
             from aps_tpu.asr.beam_search.ctc import CtcApi
-            logits, _ = self.nnet.apply(self.variables, src[None],
-                                        method="ctc_logits")
+            from aps_tpu.asr.beam_search.utils import jit_apply
+            from aps_tpu.loader.utils import quantize_len
+            if src.ndim == 1:  # raw wave: pad samples
+                S = src.shape[-1]
+                pad = quantize_len(int(S), floor=16000) - int(S)
+                src_pad = jnp.pad(src, (0, pad))
+                x_len = jnp.asarray([S])
+            else:  # precomputed features: pad frames
+                S = src.shape[0]
+                pad = quantize_len(int(S), floor=100) - int(S)
+                src_pad = jnp.pad(src, ((0, pad), (0, 0)))
+                x_len = jnp.asarray([S])
+            logits, n_frames = jit_apply(self.nnet, self.variables,
+                                         src_pad[None], x_len,
+                                         method="ctc_logits")
+            logits = logits[0, :int(n_frames[0])]
             return CtcApi(self.vocab_size - 1).beam_search(
-                logits[0], sos=self.sos, eos=self.eos, **kwargs)
+                logits, sos=self.sos, eos=self.eos, **kwargs)
         if "transducer" in self.conf["nnet"]:
             keep = {k: kwargs[k] for k in
                     ("beam_size", "nbest", "len_norm") if k in kwargs}

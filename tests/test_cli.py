@@ -279,6 +279,12 @@ def test_align_and_lm_rescore(am_workspace, tmp_path):
              str(root / "cv_text"), str(ali), "--am", str(cpt),
              "--dict", str(cpt / "dict")])
     assert len(open(ali).readlines()) == 10
+    # CTC prefix beam search through decode.py (encoder-only model)
+    hyp_ctc = tmp_path / "hyp_ctc.text"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(hyp_ctc),
+             "--am", str(cpt), "--beam-size", "2", "--nbest", "1",
+             "--dict", str(cpt / "dict")])
+    assert len(open(hyp_ctc).readlines()) == 10
     # train a tiny LM and rescore an nbest list
     lm_conf = {
         "nnet": "asr@rnn_lm",
