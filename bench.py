@@ -132,6 +132,8 @@ def main():
                         choices=["decode", "train"])
     args = parser.parse_args()
     import jax
+    from aps_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     result = bench_decode(on_tpu) if args.metric == "decode" else \
         bench_train(on_tpu)
