@@ -162,15 +162,11 @@ def _fwd(q, k, v, bias, klen, *, scale, causal, block_q, block_k,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(flops=4 * BH * Tq * Tk * D,
                                       bytes_accessed=4 *
-                                      (q.size + k.size + v.size + o_size(q)),
+                                      (2 * q.size + k.size + v.size),
                                       transcendentals=BH * Tq * Tk),
         **kwargs,
     )(klen, *args)
     return o, lse
-
-
-def o_size(q):
-    return q.size
 
 
 def _wrap_nobias(kernel, num_tensor_in):
