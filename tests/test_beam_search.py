@@ -335,3 +335,24 @@ def test_beam_search_end_detect(att_model):
     # the early stop may truncate partial hypotheses; the best finished
     # prefix must still be a prefix the full search also explored
     assert len(early[0]["trans"]) <= len(full[0]["trans"]) + 16
+
+
+def test_beam_with_xfmr_lm(att_model):
+    """Shallow fusion with a transformer LM (ring-buffer adapter) inside
+    the compiled search, single and batched."""
+    from aps_tpu.asr.beam_search.att import beam_search, beam_search_batch
+    from aps_tpu.asr.beam_search.lm import XfmrLmAdapter
+    nnet, variables, x = att_model
+    lm = aps_asr_nnet("asr@xfmr_lm")(
+        vocab_size=V - 1, att_dim=16, nhead=2, feedforward_dim=32,
+        num_layers=1)
+    lm_vars = lm.init(jax.random.PRNGKey(9),
+                      jnp.zeros((1, 4), dtype=jnp.int32), None)
+    adapter = XfmrLmAdapter(lm, lm_vars, max_len=12, sos=SOS)
+    hyp = beam_search(nnet, variables, x, lm=adapter, lm_weight=0.2,
+                      sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=12)
+    assert hyp[0]["trans"][0] == SOS and hyp[0]["trans"][-1] == EOS
+    batched = beam_search_batch(nnet, variables, [x], lm=adapter,
+                                lm_weight=0.2, sos=SOS, eos=EOS,
+                                beam_size=4, nbest=2, max_len=12)
+    assert batched[0][0]["trans"] == hyp[0]["trans"]
