@@ -28,6 +28,12 @@ def build_mesh(devices: Optional[Sequence] = None,
     if devices is None:
         devices = jax.devices()
     n = len(devices)
+    if model > n:
+        raise ValueError(
+            f"requested model={model} parallelism but only {n} device(s) "
+            f"visible; for CPU-simulated meshes set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count=<N> before "
+            f"the JAX backend initializes")
     if data < 0:
         data = n // model
     if data * model != n:

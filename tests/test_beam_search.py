@@ -344,8 +344,8 @@ def test_beam_with_xfmr_lm(att_model):
     from aps_tpu.asr.beam_search.lm import XfmrLmAdapter
     nnet, variables, x = att_model
     lm = aps_asr_nnet("asr@xfmr_lm")(
-        vocab_size=V - 1, att_dim=16, nhead=2, feedforward_dim=32,
-        num_layers=1)
+        vocab_size=V - 1, num_layers=1,
+        arch_kwargs={"att_dim": 16, "nhead": 2, "feedforward_dim": 32})
     lm_vars = lm.init(jax.random.PRNGKey(9),
                       jnp.zeros((1, 4), dtype=jnp.int32), None)
     adapter = XfmrLmAdapter(lm, lm_vars, max_len=12, sos=SOS)
