@@ -3,13 +3,13 @@
 
 Parity surface: /root/reference/aps/streaming_asr/transformer/encoder.py
 (StreamingTransformerEncoder:19) + transformer/impl.py (chunked rel-pos
-layers with bounded context).
+layers with per-layer caches).
 
-TPU design: offline/training path reuses the dense encoder with a
-chunk/lctx/rctx=0 context mask (mathematically identical to the reference's
-chunked layers); the `step` API processes a rolling window of
-(lctx + 1) * chunk frames per call — fixed shapes, state = input feature
-ring buffer (recompute-within-window instead of per-layer KV caches)."""
+TPU design: offline/training path runs the dense stack with a chunk/lctx
+context mask; the `step` API consumes one chunk per call with an explicit
+per-layer KV-cache pytree (see impl.py) — fixed shapes, jit-able, and
+offline == chunked for any num_layers (asserted in tests/test_streaming.py).
+"""
 
 from typing import Dict, Optional, Tuple
 
@@ -17,10 +17,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from aps_tpu.asr.base.attention import padding_mask
-from aps_tpu.asr.transformer.impl import get_xfmr_encoder
 from aps_tpu.asr.transformer.pose import get_xfmr_pose
 from aps_tpu.asr.transformer.proj import get_xfmr_proj
 from aps_tpu.asr.transformer.utils import prep_context_mask
+from aps_tpu.streaming_asr.transformer.impl import \
+    ApsStreamingTransformerEncoder
 
 
 class StreamingTransformerEncoder(nn.Module):
@@ -53,8 +54,9 @@ class StreamingTransformerEncoder(nn.Module):
         self.pose_layer = get_xfmr_pose("rel",
                                         att_dim // arch_kwargs["nhead"],
                                         **pose_kwargs)
-        self.encoder = get_xfmr_encoder(self.arch, "rel", self.num_layers,
-                                        arch_kwargs)
+        self.encoder = ApsStreamingTransformerEncoder(
+            arch=self.arch, num_layers=self.num_layers,
+            lctx=self.lctx * self.chunk, arch_kwargs=arch_kwargs)
         if self.output_proj > 0:
             self.outp = nn.Dense(self.output_proj)
         else:
@@ -85,8 +87,7 @@ class StreamingTransformerEncoder(nn.Module):
                                    training=training)
         src_mask = prep_context_mask(nframes, self.chunk, lctx=self.lctx,
                                      rctx=0)
-        enc_out = self.encoder(enc_inp, inj_pose=inj_pose,
-                               src_mask=src_mask,
+        enc_out = self.encoder(enc_inp, inj_pose, src_mask=src_mask,
                                src_key_padding_mask=src_pad_mask,
                                training=training)
         if self.outp is not None:
@@ -94,31 +95,28 @@ class StreamingTransformerEncoder(nn.Module):
         return enc_out, inp_len
 
     def init_step_state(self, batch: int):
-        """Rolling input-feature buffer covering (lctx+1) chunks."""
-        window = (self.lctx + 1) * self.chunk
-        att_dim = (self.arch_kwargs or {})["att_dim"]
-        dim = self.input_size if self.proj_layer is None else att_dim
-        return jnp.zeros((batch, window, self.input_size
-                          if self.proj_layer is None else dim))
+        """Per-layer KV (+ conformer conv) caches + valid-frame counter."""
+        return self.encoder.init_state(batch)
+
+    def _rel_mat(self, num_queries: int):
+        """Dense rel-pos matrix for one step: C x S x D, S = lctx*chunk + C.
+        Query l sits at window index Lc + l, key s at window index s, so
+        the relative offset is s - Lc - l (clipped by the pose layer)."""
+        lc = self.lctx * self.chunk
+        s = jnp.arange(lc + num_queries)
+        l = jnp.arange(num_queries)
+        return self.pose_layer(s[None, :] - lc - l[:, None], training=False)
 
     def step(self, chunk: jnp.ndarray, state=None, training: bool = False):
-        """chunk: N x chunk x F projected features (when proj != none, the
-        caller should feed enough frames for the conv front-end; linear proj
-        works frame-wise). Returns (out N x chunk x D, state)."""
+        """chunk: N x T x F raw features (when proj != none, feed enough
+        frames for the conv front-end to emit `self.chunk` frames; linear
+        proj works frame-wise). Returns (out N x chunk x D, state)."""
         if self.proj_layer is not None:
             chunk, _ = self.proj_layer(chunk, None, training=False)
         if state is None:
-            state = jnp.zeros(
-                (chunk.shape[0], (self.lctx + 1) * self.chunk,
-                 chunk.shape[-1]))
-        buf = jnp.concatenate([state, chunk], axis=1)[:,
-                                                      chunk.shape[1]:]
-        W = buf.shape[1]
-        inj_pose = self.pose_layer(jnp.arange(-W + 1, W), training=False)
-        src_mask = prep_context_mask(W, self.chunk, lctx=self.lctx, rctx=0)
-        out = self.encoder(buf, inj_pose=inj_pose, src_mask=src_mask,
-                           training=False)
-        out = out[:, -chunk.shape[1]:]
+            state = self.encoder.init_state(chunk.shape[0])
+        rel_mat = self._rel_mat(chunk.shape[1])
+        out, state = self.encoder.step(chunk, rel_mat, state)
         if self.outp is not None:
             out = self.outp(out)
-        return out, buf
+        return out, state

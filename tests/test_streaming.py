@@ -139,3 +139,97 @@ def test_rt_sse_models(rng, name):
                      mutable=["batch_stats"])[0]
     assert out.shape[0] == 2
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# offline == chunked-step equivalence for every streaming encoder family
+# (the reference only smoke-tests these; per-layer caches make the xfmr/cfmr
+# step path exactly reproduce the offline context-masked forward)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("arch,num_layers", [("xfmr", 3), ("cfmr", 2)])
+def test_streaming_xfmr_step_equivalence(rng, arch, num_layers):
+    from aps_tpu.streaming_asr.transformer.encoder import \
+        StreamingTransformerEncoder
+    chunk, lctx, T = 4, 2, 32
+    arch_kwargs = {"att_dim": 32, "nhead": 4, "feedforward_dim": 64,
+                   "att_dropout": 0.0, "ffn_dropout": 0.0}
+    if arch == "cfmr":
+        arch_kwargs["kernel_size"] = 7
+    enc = StreamingTransformerEncoder(arch=arch, input_size=16,
+                                      output_proj=8,
+                                      num_layers=num_layers, chunk=chunk,
+                                      lctx=lctx, proj="linear",
+                                      arch_kwargs=arch_kwargs)
+    inp = jnp.asarray(rng.standard_normal((2, T, 16)), dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), inp, None)
+    offline, _ = enc.apply(variables, inp, None)
+    state, outs = None, []
+    for t in range(0, T, chunk):
+        out, state = enc.apply(variables, inp[:, t:t + chunk], state,
+                               method="step")
+        outs.append(out)
+    online = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(online), np.asarray(offline),
+                               atol=2e-5)
+
+
+def test_streaming_fsmn_step_equivalence(rng):
+    """Sliding-window step() == offline valid-conv forward (2-layer FSMN
+    with memory residual)."""
+    from aps_tpu.streaming_asr.base.encoder import StreamingFSMNEncoder
+    lctx, rctx, L = 3, 1, 2
+    enc = StreamingFSMNEncoder(inp_features=16, out_features=8, dim=32,
+                               project=16, num_layers=L, lctx=lctx,
+                               rctx=rctx, residual=True)
+    T = 20
+    inp = jnp.asarray(rng.standard_normal((2, T, 16)), dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), inp, None)
+    offline, _ = enc.apply(variables, inp, None)
+    # each step consumes a window covering the stacked receptive field and
+    # emits one frame
+    win = L * (lctx + rctx) + 1
+    outs = []
+    for t in range(T - win + 1):
+        out, _ = enc.apply(variables, inp[:, t:t + win], None,
+                           method="step")
+        outs.append(out)
+    online = jnp.concatenate(outs, axis=1)
+    assert online.shape == offline.shape
+    np.testing.assert_allclose(np.asarray(online), np.asarray(offline),
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("name", ["conv1d", "conv2d"])
+def test_streaming_conv_step_equivalence(rng, name):
+    """Sliding-window step() == offline valid-conv forward for the conv
+    encoders (window/hop from compute_conv_context)."""
+    from aps_tpu.streaming_asr.base.encoder import (StreamingConv1dEncoder,
+                                                    StreamingConv2dEncoder)
+    from aps_tpu.streaming_asr.utils import compute_conv_context
+    L, kernel, stride = 2, 3, 2
+    lctx, rctx, hop = compute_conv_context(L, kernel, stride)
+    win = lctx + rctx + 1
+    if name == "conv1d":
+        enc = StreamingConv1dEncoder(inp_features=16, out_features=8,
+                                     dim=32, num_layers=L, kernel=kernel,
+                                     stride=stride)
+    else:
+        enc = StreamingConv2dEncoder(inp_features=16, out_features=-1,
+                                     channel=4, num_layers=L, kernel=kernel,
+                                     stride=stride)
+    n_out = 4
+    T = win + hop * (n_out - 1)
+    inp = jnp.asarray(rng.standard_normal((2, T, 16)), dtype=jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), inp, None)
+    offline, _ = enc.apply(variables, inp, None)
+    outs = []
+    for i in range(n_out):
+        t = i * hop
+        out, _ = enc.apply(variables, inp[:, t:t + win], None,
+                           method="step")
+        outs.append(out)
+    online = jnp.concatenate(outs, axis=1)
+    assert online.shape == offline.shape
+    np.testing.assert_allclose(np.asarray(online), np.asarray(offline),
+                               atol=2e-5)
