@@ -72,32 +72,49 @@ def group_segments(segment: str, sr: int, wav_scp: str = "") -> Dict:
     return grouped
 
 
+def _direct_path_rir(rir_ch0: np.ndarray, sr: int,
+                     keep_duration: float) -> np.ndarray:
+    """Zero the RIR tail: keep [peak - 1ms, peak + keep_duration) around
+    the direct-path arrival, so convolving with it yields the early
+    (non-reverberant) image."""
+    peak = int(np.argmax(rir_ch0))
+    lo = max(0, peak - int(0.001 * sr))
+    hi = min(rir_ch0.size, peak + int(keep_duration * sr))
+    kept = np.zeros_like(rir_ch0)
+    kept[lo:hi] = rir_ch0[lo:hi]
+    return kept
+
+
 def add_room_response(spk: np.ndarray,
                       rir: np.ndarray,
                       early_energy: bool = False,
                       early_revb_duration: float = 0.05,
                       sr: int = 16000):
     """Convolve a close-talk signal with (multi-channel) RIRs.
-    spk: S; rir: N x R -> (revb N x S, early_revb or None, power)."""
+    spk: S; rir: N x R -> (revb N x S, early_revb or None, power).
+    Power is the channel-0 mean square — of the early image when
+    early_energy is set, of the full reverberant image otherwise."""
+    spk = np.asarray(spk)
     if spk.ndim != 1:
         raise RuntimeError(f"Can not convolve rir with {spk.ndim}D signals")
-    S = spk.shape[-1]
-    revb = ss.convolve(spk[None, ...], rir)[..., :S]
-    revb = np.asarray(revb)
-    if early_energy:
-        rir_ch0 = rir[0]
-        rir_peak = np.argmax(rir_ch0)
-        beg_idx = max(0, int(rir_peak - 0.001 * sr))
-        end_idx = min(rir_ch0.size, int(rir_peak + early_revb_duration * sr))
-        early_rir = np.zeros_like(rir_ch0)
-        early_rir[beg_idx:end_idx] = rir_ch0[beg_idx:end_idx]
-        early_revb = ss.convolve(spk, early_rir)[:S]
-        return revb, early_revb, np.mean(early_revb**2)
-    return revb, None, np.mean(revb[0]**2)
+    rir = np.atleast_2d(np.asarray(rir))
+    # FFT convolution: all channels at once, O(R log R) per sample block
+    wet = ss.fftconvolve(rir, spk[None, :], axes=-1)[:, :spk.size]
+    wet = np.ascontiguousarray(wet)
+    if not early_energy:
+        return wet, None, float(np.mean(wet[0]**2))
+    early = ss.fftconvolve(_direct_path_rir(rir[0], sr, early_revb_duration),
+                           spk)[:spk.size]
+    return wet, early, float(np.mean(early**2))
 
 
 class AudioReader(BaseReader):
-    """Random/sequential reader over a kaldi wav.scp (paths | pipes | ark)."""
+    """Random/sequential reader over a kaldi wav.scp. Three value forms
+    (same grammar as the reference's kaldi conventions):
+      plain path        /path/to/utt.wav
+      shell pipe        sox /path/utt.wav -t wav - remix 1 |
+      archive offset    /path/to/wav.ark:51243
+    Archive handles are opened once and kept for the reader's lifetime."""
 
     def __init__(self,
                  wav_scp: str,
@@ -109,54 +126,61 @@ class AudioReader(BaseReader):
         self.sr = sr
         self.ch = channel
         self.norm = norm
-        self.mngr = {}
         self.failed_if_error = failed_if_error
+        self._ark_handles: Dict[str, IO[Any]] = {}
+
+    @staticmethod
+    def _is_pipe(value: str) -> bool:
+        return value.endswith("|")
+
+    @staticmethod
+    def _is_ark(value: str) -> bool:
+        return ".ark:" in value
+
+    def _open_ark(self, value: str) -> IO[Any]:
+        """"file.ark:offset" -> cached handle seeked to the wav payload."""
+        path, _, offset = value.rpartition(":")
+        if not path or ":" in path:
+            raise RuntimeError(f"Value format error: {value}")
+        if path not in self._ark_handles:
+            self._ark_handles[path] = open(path, "rb")
+        handle = self._ark_handles[path]
+        handle.seek(int(offset))
+        return handle
+
+    @staticmethod
+    def _run_pipe(value: str) -> IO[Any]:
+        """Run the "cmd ... |" form, buffer its stdout as a wav stream."""
+        proc = subprocess.run(value[:-1], shell=True, capture_output=True)
+        if proc.returncode != 0:
+            raise RuntimeError(f"Command \"{value[:-1]}\" failed:\n"
+                               f"{proc.stderr.decode()}")
+        return io.BytesIO(proc.stdout)
 
     def _load(self, key: str) -> Optional[np.ndarray]:
-        fname = self.index_dict[key]
-        samps = None
-        if ".ark:" in fname:
-            tokens = fname.split(":")
-            if len(tokens) != 2:
-                raise RuntimeError(f"Value format error: {fname}")
-            fname, offset = tokens[0], int(tokens[1])
-            if fname not in self.mngr:
-                self.mngr[fname] = open(fname, "rb")
-            wav_ark = self.mngr[fname]
-            wav_ark.seek(offset)
-            try:
-                samps = read_audio(wav_ark, norm=self.norm, sr=self.sr)
-            except RuntimeError:
-                warnings.warn(f"Read audio {key} {fname}:{offset} failed ...")
+        value = self.index_dict[key]
+        if self._is_ark(value):
+            stream = self._open_ark(value)
+        elif self._is_pipe(value):
+            stream = self._run_pipe(value)
         else:
-            if fname[-1] == "|":
-                p = subprocess.Popen(fname[:-1],
-                                     shell=True,
-                                     stdout=subprocess.PIPE,
-                                     stderr=subprocess.PIPE)
-                stdout, stderr = p.communicate()
-                if p.returncode != 0:
-                    raise RuntimeError(
-                        f"Command \"{fname[:-1]}\" failed:\n"
-                        f"{bytes.decode(stderr)}")
-                fname = io.BytesIO(stdout)
-            try:
-                samps = read_audio(fname, norm=self.norm, sr=self.sr)
-            except RuntimeError:
-                warnings.warn(f"Load audio {key} {fname} failed ...")
-        if samps is None:
+            stream = value
+        try:
+            samps = read_audio(stream, norm=self.norm, sr=self.sr)
+        except RuntimeError:
             if self.failed_if_error:
-                raise RuntimeError("Audio IO failed ...")
-            return samps
+                raise
+            warnings.warn(f"Failed to read audio {key}: {value}")
+            return None
         if self.ch >= 0 and samps.ndim == 2:
             samps = samps[self.ch]
         return samps
 
     def nsamps(self, key: str) -> int:
-        fname = self.index_dict[key]
+        value = self.index_dict[key]
         # header-only fast path for plain files
-        if ".ark:" not in fname and fname[-1] != "|":
-            return wav_read_header(fname).num_frames
+        if not self._is_ark(value) and not self._is_pipe(value):
+            return wav_read_header(value).num_frames
         return self._load(key).shape[-1]
 
     def power(self, key: str) -> float:

@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """Host-side audio simulation: speaker mixing, RIR convolution, SNR scaling.
 
-Parity surface: /root/reference/aps/loader/simu.py (coeff_snr:17,
-add_speaker:32, add_point_noise:71, run_simu:141, make_argparse:300).
-Pure numpy/scipy — this runs in dataloader workers, feeding the TPU."""
+Parity surface: /root/reference/aps/loader/simu.py (the command-line option
+grammar and the output contract of run_simu are the compatibility surface —
+simu_cfg files written for the reference drive this module unchanged).
+
+Design: every ingredient of a mixture (speaker, point noise, isotropic
+noise) is normalized into a `Placement` — a rendered multi-channel image,
+an onset, and a gain solved from the requested SNR/SDR against a reference
+power. `mixdown` then pastes all placements into one buffer. Pure numpy /
+scipy; this runs in dataloader workers, feeding the TPU."""
 
 import argparse
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -14,206 +21,195 @@ from aps_tpu.const import EPSILON
 from aps_tpu.io.audio import add_room_response, read_audio
 from aps_tpu.opts import StrToBoolAction
 
+__all__ = ["snr_gain", "coeff_snr", "run_simu", "make_argparse"]
 
-def coeff_snr(sig_pow: float, ref_pow: float, snr: float) -> float:
-    """Scale for `mix = Sa + alpha*Sb` such that
-    SNR = 10*log10[Pa/(Pb*alpha^2)]."""
+
+def snr_gain(sig_pow: float, ref_pow: float, snr: float) -> float:
+    """Gain g for `mix = ref + g * sig` such that
+    10*log10(ref_pow / (sig_pow * g^2)) == snr."""
     if sig_pow == 0:
-        return 0
-    return (ref_pow / (sig_pow * 10**(snr / 10) + EPSILON))**0.5
+        return 0.0
+    return float(np.sqrt(ref_pow / (sig_pow * 10.0**(snr / 10) + EPSILON)))
 
 
-def add_speaker(mix_nsamps: int,
-                src_spk: List[np.ndarray],
-                src_begin: List[int],
-                sdr: Optional[List[float]],
-                src_rir: Optional[List[np.ndarray]] = None,
-                channel: int = -1,
-                sr: int = 16000) -> List[np.ndarray]:
-    """Reverberate + place + SDR-scale each speaker into its own buffer
-    (first speaker is the 0 dB reference). Returns list of N x S images."""
-    spk_image, spk_power = [], []
-    for i, spk in enumerate(src_spk):
-        if src_rir is None:
-            src = spk[None, ...] if spk.ndim == 1 else spk
-            spk_image.append(src)
-            spk_power.append(np.mean(src[0]**2))
-        else:
-            rir = src_rir[i]
-            if rir.ndim == 1:
-                rir = rir[None, ...]
-            if channel >= 0 and rir.ndim == 2:
-                rir = rir[channel:channel + 1]
-            revb, _, p = add_room_response(spk, rir, sr=sr)
-            spk_image.append(revb)
-            spk_power.append(p)
-    N = spk_image[0].shape[0]
-    mix = [np.zeros([N, mix_nsamps], dtype=np.float32) for _ in src_spk]
-    ref_power = spk_power[0]
-    for i, image in enumerate(spk_image):
-        dur = image.shape[-1]
-        beg = src_begin[i]
-        coeff = 1 if i == 0 else coeff_snr(spk_power[i], ref_power, sdr[i])
-        mix[i][..., beg:beg + dur] += coeff * image
-    return mix
+# alias kept for config-driven simulation (loader/se/config.py)
+coeff_snr = snr_gain
 
 
-def add_point_noise(mix_nsamps: int,
-                    ref_power: float,
-                    noise: List[np.ndarray],
-                    noise_begin: List[int],
-                    snr: List[float],
-                    noise_rir: Optional[List[np.ndarray]] = None,
-                    channel: int = -1,
-                    repeat: bool = False,
-                    sr: int = 16000) -> np.ndarray:
-    """Place point-source noises (optionally reverberated/looped) at the
-    requested SNRs vs ref_power. Returns the N x S noise mixture."""
-    image, image_power, image_dur = [], [], []
-    for i, src in enumerate(noise):
-        beg = noise_begin[i]
-        if not repeat:
-            dur = min(src.shape[-1], mix_nsamps - beg)
-        else:
-            dur = mix_nsamps - beg
-            if src.shape[-1] < dur:
-                src = np.pad(src, (0, dur - src.shape[-1]), mode="wrap")
-        if noise_rir is None:
-            img = src[None, ...] if src.ndim == 1 else src
-            image.append(img)
-            image_power.append(np.mean(img[0, :dur]**2) if dur > 0 else 0)
-        else:
-            rir = noise_rir[i]
-            if rir.ndim == 1:
-                rir = rir[None, ...]
-            if channel >= 0 and rir.ndim == 2:
-                rir = rir[channel:channel + 1]
-            revb, _, p = add_room_response(src[:dur], rir, sr=sr)
-            image.append(revb)
-            image_power.append(p)
-        image_dur.append(dur)
-    N = image[0].shape[0]
-    mix = np.zeros([N, mix_nsamps], dtype=np.float32)
-    for i, img in enumerate(image):
-        beg, dur = noise_begin[i], image_dur[i]
-        coeff = coeff_snr(image_power[i], ref_power, snr[i])
-        mix[..., beg:beg + dur] += coeff * img[..., :dur]
-    return mix
+@dataclass
+class Placement:
+    """One rendered source ready to paste into the mixture."""
+    image: np.ndarray  # C x D
+    begin: int
+    power: float  # channel-0 mean square (early/wet per render options)
+    gain: float = 1.0
+
+    @property
+    def channels(self) -> int:
+        return self.image.shape[0]
+
+
+def render(wav: np.ndarray,
+           begin: int = 0,
+           rir: Optional[np.ndarray] = None,
+           channel: int = -1,
+           length: Optional[int] = None,
+           loop: bool = False,
+           sr: int = 16000) -> Placement:
+    """Crop/loop a mono source to fit, reverberate it when an RIR is given,
+    and measure its power. `length` is the mixture length; when set, the
+    image is bounded to [begin, length) (loop=True tiles short sources)."""
+    if length is not None:
+        span = length - begin
+        if loop and wav.shape[-1] < span:
+            wav = np.pad(wav, (0, span - wav.shape[-1]), mode="wrap")
+        wav = wav[..., :span]
+    if rir is None:
+        image = np.atleast_2d(wav)
+        power = float(np.mean(image[0]**2)) if image.shape[-1] else 0.0
+        return Placement(image=image, begin=begin, power=power)
+    rir = np.atleast_2d(rir)
+    if channel >= 0:
+        rir = rir[channel:channel + 1]
+    image, _, power = add_room_response(wav, rir, sr=sr)
+    return Placement(image=image, begin=begin, power=float(power))
+
+
+def mixdown(placements: List[Placement], channels: int,
+            length: int) -> np.ndarray:
+    """Sum gain-scaled placements into a C x length buffer."""
+    buf = np.zeros((channels, length), dtype=np.float32)
+    for p in placements:
+        end = min(length, p.begin + p.image.shape[-1])
+        buf[..., p.begin:end] += p.gain * p.image[..., :end - p.begin]
+    return buf
+
+
+def _csv_floats(arg: str) -> Optional[List[float]]:
+    return [float(v) for v in arg.split(",")] if arg else None
+
+
+def _csv_ints(arg: str, default: int, count: int) -> List[int]:
+    vals = _csv_floats(arg)
+    return [int(v) for v in vals] if vals else [default] * count
 
 
 def load_audio(src_args: str, beg=None, end=None, sr: int = 16000):
+    """Comma-separated paths (+ optional per-path sample ranges) -> waves."""
     if not src_args:
         return None
-    src_path = src_args.split(",")
-    beg_int = [int(v) for v in beg.split(",")] if beg else [None] * len(
-        src_path)
-    end_int = [int(v) for v in end.split(",")] if end else [None] * len(
-        src_path)
+    paths = src_args.split(",")
+    begs = [int(v) for v in beg.split(",")] if beg else [0] * len(paths)
+    ends = [int(v) for v in end.split(",")] if end else [None] * len(paths)
     return [
-        read_audio(s, sr=sr, beg=b or 0, end=e)
-        for s, b, e in zip(src_path, beg_int, end_int)
+        read_audio(p, sr=sr, beg=b, end=e)
+        for p, b, e in zip(paths, begs, ends)
     ]
+
+
+def _speaker_placements(args, sr: int) -> Tuple[List[Placement], int]:
+    """Speakers: first one is the 0 dB reference, the rest are SDR-scaled
+    against it. Returns (placements, mixture length)."""
+    spk = load_audio(args.src_spk, sr=sr)
+    rir = load_audio(args.src_rir, sr=sr)
+    if rir and len(rir) != len(spk):
+        raise RuntimeError("--src-rir count mismatches --src-spk")
+    sdr = _csv_floats(args.src_sdr)
+    if len(spk) > 1 and not sdr:
+        raise RuntimeError("--src-sdr needed for multiple --src-spk")
+    if sdr and len(sdr) != len(spk) - 1:
+        raise RuntimeError("--src-sdr count must be #speakers - 1")
+    begin = _csv_ints(args.src_begin, 0, len(spk))
+    length = max(b + s.shape[-1] for b, s in zip(begin, spk))
+    placed = [
+        render(s, begin=b, rir=rir[i] if rir else None,
+               channel=args.dump_channel, sr=sr)
+        for i, (s, b) in enumerate(zip(spk, begin))
+    ]
+    for p, level in zip(placed[1:], sdr or []):
+        p.gain = snr_gain(p.power, placed[0].power, level)
+    return placed, length
+
+
+def _noise_placements(args, length: int, ref_power: float,
+                      sr: int) -> List[Placement]:
+    """Point-source noises, SNR-scaled against the speaker-sum power."""
+    if not args.point_noise:
+        return []
+    offsets = args.point_noise_offset or None
+    ends = ",".join(
+        str(int(v) + length) for v in offsets.split(",")) if offsets else None
+    noise = load_audio(args.point_noise, beg=offsets, end=ends, sr=sr)
+    rir = load_audio(args.point_noise_rir, sr=sr)
+    if rir and len(rir) != len(noise):
+        raise RuntimeError("--point-noise-rir count mismatch")
+    snr = _csv_floats(args.point_noise_snr)
+    if not snr or len(snr) != len(noise):
+        raise RuntimeError("--point-noise-snr count mismatch")
+    begin = _csv_ints(args.point_noise_begin, 0, len(noise))
+    placed = []
+    for i, (n, b) in enumerate(zip(noise, begin)):
+        p = render(n, begin=b, rir=rir[i] if rir else None,
+                   channel=args.dump_channel, length=length,
+                   loop=args.point_noise_repeat, sr=sr)
+        p.gain = snr_gain(p.power, ref_power, snr[i])
+        placed.append(p)
+    return placed
+
+
+def _isotropic_chunk(args, length: int, channels: int, ref_power: float,
+                     sr: int) -> Optional[np.ndarray]:
+    """Isotropic (diffuse) noise: a pre-recorded multi-channel slice, SNR
+    set by its channel-0 power; the channel-0 slice is added everywhere."""
+    if not args.isotropic_noise:
+        return None
+    beg = args.isotropic_noise_offset
+    iso = load_audio(args.isotropic_noise, beg=str(beg),
+                     end=str(beg + length), sr=sr)[0]
+    snr = _csv_floats(args.isotropic_noise_snr)
+    if not snr:
+        raise RuntimeError("--isotropic-noise-snr required")
+    iso = np.atleast_2d(iso)
+    if channels == 1 and iso.shape[0] > 1:
+        if args.dump_channel < 0:
+            raise RuntimeError("1ch mixture vs multi-channel iso noise")
+        iso = iso[args.dump_channel:args.dump_channel + 1]
+    elif channels > 1 and iso.shape[0] != channels:
+        raise RuntimeError("Channel mismatch mixture vs iso noise")
+    chunk = iso[0, :length]
+    return snr_gain(float(np.mean(chunk**2)), ref_power, snr[0]) * chunk
 
 
 def run_simu(args):
     """Run one simulation from command-line style options; returns
     (mix S|CxS, [spk_ref S, ...], noise S|None)."""
+    speakers, length = _speaker_placements(args, args.sr)
+    channels = speakers[0].channels
+    spk_sum = mixdown(speakers, channels, length)
+    spk_power = float(np.mean(spk_sum[0]**2))
 
-    def arg_float(s):
-        return [float(v) for v in s.split(",")] if s else None
-
-    src_spk = load_audio(args.src_spk, sr=args.sr)
-    src_rir = load_audio(args.src_rir, sr=args.sr)
-    if src_rir and len(src_rir) != len(src_spk):
-        raise RuntimeError("--src-rir count mismatches --src-spk")
-    sdr = arg_float(args.src_sdr)
-    if len(src_spk) > 1 and not sdr:
-        raise RuntimeError("--src-sdr needed for multiple --src-spk")
-    if sdr:
-        if len(src_spk) - 1 != len(sdr):
-            raise RuntimeError("--src-sdr count must be #speakers - 1")
-        sdr = [0] + sdr
-    src_begin = arg_float(args.src_begin)
-    src_begin = [int(v) for v in src_begin] if src_begin else [0] * len(
-        src_spk)
-    mix_nsamps = max(b + s.shape[-1] for b, s in zip(src_begin, src_spk))
-
-    point_noise_rir = load_audio(args.point_noise_rir, sr=args.sr)
-    point_noise, point_snr, point_begin = None, None, None
-    if args.point_noise:
-        ends = [
-            str(int(v) + mix_nsamps)
-            for v in args.point_noise_offset.split(",")
-        ] if args.point_noise_offset else None
-        point_noise = load_audio(args.point_noise,
-                                 beg=args.point_noise_offset or None,
-                                 end=",".join(ends) if ends else None,
-                                 sr=args.sr)
-        if point_noise_rir and len(point_noise) != len(point_noise_rir):
-            raise RuntimeError("--point-noise-rir count mismatch")
-        point_snr = arg_float(args.point_noise_snr)
-        if not point_snr or len(point_noise) != len(point_snr):
-            raise RuntimeError("--point-noise-snr count mismatch")
-        point_begin = arg_float(args.point_noise_begin)
-        point_begin = [int(v) for v in point_begin] if point_begin else \
-            [0] * len(point_noise)
-
-    isotropic_noise = load_audio(
-        args.isotropic_noise,
-        beg=str(args.isotropic_noise_offset),
-        end=str(args.isotropic_noise_offset + mix_nsamps),
-        sr=args.sr)
-    isotropic_snr = None
-    if isotropic_noise:
-        isotropic_noise = isotropic_noise[0]
-        iso_snr = arg_float(args.isotropic_noise_snr)
-        if not iso_snr:
-            raise RuntimeError("--isotropic-noise-snr required")
-        isotropic_snr = iso_snr[0]
-
-    spk = add_speaker(mix_nsamps, src_spk, src_begin, sdr, src_rir=src_rir,
-                      channel=args.dump_channel, sr=args.sr)
-    spk_utt = sum(spk)
-    mix = spk_utt.copy()
-    spk_power = np.mean(spk_utt[0]**2)
-    noise = None
-    if point_noise:
-        noise = add_point_noise(mix_nsamps, spk_power, point_noise,
-                                point_begin, point_snr,
-                                noise_rir=point_noise_rir,
-                                channel=args.dump_channel,
-                                repeat=args.point_noise_repeat, sr=args.sr)
-        if spk_utt.shape[0] != noise.shape[0]:
-            if spk_utt.shape[0] == 1:
-                noise = noise[0:1]
-            else:
-                raise RuntimeError("Channel mismatch speaker vs point noise")
-        mix = spk_utt + noise
-    if isotropic_noise is not None:
-        N = spk_utt.shape[0]
-        if N == 1:
-            if isotropic_noise.ndim == 1:
-                isotropic_noise = isotropic_noise[None, ...]
-            elif args.dump_channel >= 0:
-                isotropic_noise = isotropic_noise[
-                    args.dump_channel:args.dump_channel + 1]
-            else:
-                raise RuntimeError("1ch mixture vs multi-channel iso noise")
-        elif isotropic_noise.shape[0] != N:
-            raise RuntimeError("Channel mismatch mixture vs iso noise")
-        dur = min(mix_nsamps, isotropic_noise.shape[-1])
-        iso_chunk = isotropic_noise[0, :dur]
-        coeff = coeff_snr(np.mean(iso_chunk**2), spk_power, isotropic_snr)
-        mix[..., :dur] += coeff * iso_chunk
-        if noise is None:
-            noise = (coeff * iso_chunk)[None, ...]
+    noises = _noise_placements(args, length, spk_power, args.sr)
+    if noises and noises[0].channels != channels:
+        if channels == 1:
+            for p in noises:
+                p.image = p.image[:1]
         else:
-            noise[..., :dur] += coeff * iso_chunk
+            raise RuntimeError("Channel mismatch speaker vs point noise")
+    noise = mixdown(noises, channels, length) if noises else None
 
-    factor = args.norm_factor / (np.max(np.abs(mix)) + EPSILON)
-    mix = mix.squeeze() * factor
-    spk = [s[0] * factor for s in spk]
-    return mix, spk, None if noise is None else noise[0] * factor
+    iso = _isotropic_chunk(args, length, channels, spk_power, args.sr)
+    if iso is not None:
+        if noise is None:
+            noise = np.zeros((1, length), dtype=np.float32)
+        noise[..., :iso.shape[-1]] += iso
+
+    mix = spk_sum if noise is None else spk_sum + noise
+    scale = args.norm_factor / (np.max(np.abs(mix)) + EPSILON)
+    refs = [
+        scale * mixdown([p], channels, length)[0] for p in speakers
+    ]
+    return (mix.squeeze() * scale, refs,
+            None if noise is None else noise[0] * scale)
 
 
 def make_argparse() -> argparse.ArgumentParser:

@@ -164,7 +164,8 @@ class ProgressReporter(object):
 
 
 class ErrorDetector(object):
-    """Stop after N consecutive failed steps."""
+    """Circuit breaker for the train loop: trips once `stop_on_errors`
+    consecutive steps fail (a success closes the breaker again)."""
 
     def __init__(self, stop_on_errors: int) -> None:
         self.stop_on_errors = stop_on_errors
@@ -172,48 +173,42 @@ class ErrorDetector(object):
 
     def reset(self) -> None:
         self.counter = 0
-        self.last_error_step = 0
-        self.local_step = 0
 
     def stop(self) -> bool:
         return self.counter >= self.stop_on_errors
 
     def step(self, succ: bool) -> bool:
-        self.local_step += 1
-        if not succ:
-            if self.counter == 0 or \
-                    self.local_step - self.last_error_step == 1:
-                self.counter += 1
-                self.last_error_step = self.local_step
-        else:
-            self.counter = 0
+        self.counter = 0 if succ else self.counter + 1
         return self.stop()
 
 
 class StopDetector(object):
-    """Early stopping on a tracked metric."""
+    """Early stopping: stop once the tracked dev metric has gone `no_impr`
+    evaluations without beating the best-so-far by more than
+    `no_impr_thres`. Internally tracks `sign * value` so "min" (losses)
+    and "max" (accuracies) share one comparison."""
 
     def __init__(self,
                  no_impr: int,
                  mode: str = "min",
                  init_criterion: float = math.inf,
                  no_impr_thres: float = 2e-3) -> None:
+        assert mode in ("min", "max")
         self.max_no_impr = no_impr
         self.no_impr = 0
         self.no_impr_thres = no_impr_thres
-        self.mode = mode
-        self.best_criterion = init_criterion \
-            if mode == "min" else -init_criterion
+        self.sign = 1.0 if mode == "min" else -1.0
+        self.best_criterion = self.sign * init_criterion
 
     def reset(self, update_value: float) -> None:
-        self.best_criterion = update_value
+        self.best_criterion = self.sign * update_value
 
     def stop(self) -> bool:
-        return self.no_impr == self.max_no_impr
+        return self.no_impr >= self.max_no_impr
 
     @property
     def best(self) -> float:
-        return self.best_criterion
+        return self.sign * self.best_criterion
 
     def state_dict(self) -> Dict:
         return dict(self.__dict__)
@@ -222,14 +217,9 @@ class StopDetector(object):
         self.__dict__.update(state_dict)
 
     def step(self, update_value: float) -> bool:
-        if self.mode == "min":
-            is_better = self.best_criterion > update_value + \
-                self.no_impr_thres
-        else:
-            is_better = self.best_criterion < update_value - \
-                self.no_impr_thres
-        if is_better:
-            self.best_criterion = update_value
+        signed = self.sign * update_value
+        if signed + self.no_impr_thres < self.best_criterion:
+            self.best_criterion = signed
             self.no_impr = 0
             return True
         self.no_impr += 1

@@ -228,3 +228,39 @@ def test_add_room_response(rng):
     revb, early, p = add_room_response(spk, rir, sr=16000)
     assert revb.shape == (2, 4000)
     assert np.isfinite(revb).all() and np.isfinite(p)
+
+
+def test_simu_cmd_rir_and_noise(tmp_path, rng):
+    """Full simulation surface: multi-channel RIRs, repeated point noise,
+    isotropic noise, SNR scaling."""
+    from aps_tpu.loader.simu import make_argparse, run_simu
+    sr = 16000
+    for name, n in [("a", sr), ("b", sr), ("n", sr // 4)]:
+        wav = (rng.standard_normal(n) * 0.1).astype(np.float32)
+        write_audio(str(tmp_path / f"{name}.wav"), wav, sr=sr)
+    iso = (rng.standard_normal((2, 2 * sr)) * 0.1).astype(np.float32)
+    write_audio(str(tmp_path / "iso.wav"), iso, sr=sr)
+    rir = np.zeros((2, 128), dtype=np.float32)
+    rir[:, 0] = 1.0
+    rir[1, 64] = 0.3
+    write_audio(str(tmp_path / "rir.wav"), rir, sr=sr)
+    args = make_argparse().parse_args([
+        "--src-spk", f"{tmp_path}/a.wav,{tmp_path}/b.wav",
+        "--src-rir", f"{tmp_path}/rir.wav,{tmp_path}/rir.wav",
+        "--src-sdr", "2",
+        "--src-begin", "0,4000",
+        "--point-noise", f"{tmp_path}/n.wav",
+        "--point-noise-rir", f"{tmp_path}/rir.wav",
+        "--point-noise-snr", "5",
+        "--point-noise-repeat", "true",
+        "--isotropic-noise", f"{tmp_path}/iso.wav",
+        "--isotropic-noise-snr", "10",
+        "--sr", str(sr),
+    ])
+    mix, refs, noise = run_simu(args)
+    assert mix.shape == (2, sr + 4000)
+    assert len(refs) == 2 and all(r.shape == (sr + 4000,) for r in refs)
+    assert noise.shape == (sr + 4000,)
+    assert np.isfinite(mix).all()
+    # normalization contract: peak of the mixture == norm factor
+    np.testing.assert_allclose(np.max(np.abs(mix)), 0.9, rtol=1e-5)

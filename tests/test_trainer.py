@@ -218,3 +218,42 @@ def test_trainer_tensor_parallel(tmp_path):
     loader = SyntheticSSELoader(num_batches=3, batch=8)
     trainer.run(loader, loader, num_epochs=1)
     assert (tmp_path / "tp" / "best.ckpt").exists()
+
+
+def test_error_detector_unit():
+    """Circuit breaker trips only on consecutive failures."""
+    from aps_tpu.trainer.base import ErrorDetector
+    det = ErrorDetector(3)
+    assert not det.step(False) and not det.step(False)
+    assert not det.step(True)  # success closes the breaker
+    assert not det.step(False) and not det.step(False)
+    assert det.step(False) and det.stop()
+
+
+def test_stop_detector_unit():
+    """Early stop honours min/max modes, threshold and state round-trip."""
+    from aps_tpu.trainer.base import StopDetector
+    det = StopDetector(2, mode="min", no_impr_thres=1e-2)
+    assert det.step(1.0) and det.best == 1.0
+    assert not det.step(0.995)  # within threshold: no improvement
+    assert not det.step(1.1) and det.stop()
+    # max mode (accuracy-style)
+    det = StopDetector(2, mode="max", init_criterion=-np.inf)
+    assert det.step(0.5) and det.step(0.9)
+    state = det.state_dict()
+    other = StopDetector(2, mode="max")
+    other.load_state_dict(state)
+    assert other.best == det.best and not other.stop()
+
+
+def test_trainer_stops_on_consecutive_errors(tmp_path, monkeypatch):
+    """Fault injection: a train step that keeps failing must trip the
+    ErrorDetector and abort the run (the reference's stop_on_errors
+    behavior, aps/trainer/base.py:263)."""
+    task = build_task()
+    trainer = make_trainer(tmp_path, task, stop_on_errors=3)
+    loader = SyntheticSSELoader(num_batches=4)
+    monkeypatch.setattr(type(trainer), "train_one_step",
+                        lambda self, egs: False)
+    with pytest.raises(RuntimeError, match="consecutive errors"):
+        trainer.run(loader, loader, num_epochs=1)
