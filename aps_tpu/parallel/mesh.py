@@ -82,25 +82,39 @@ def tp_param_shardings(mesh: Mesh, params, min_dim: int = 256):
     return jax.tree_util.tree_map(spec_of, params)
 
 
-def pad_batch_to_multiple(egs: Dict, multiple: int) -> Dict:
-    """Pad the batch axis so it divides the mesh's data axis; adds a
-    "#pad" count so losses can mask the dummy rows."""
-    sizes = [
-        v.shape[0] for v in egs.values()
-        if isinstance(v, np.ndarray) and v.ndim > 0
+def fit_batch_to_mesh(egs: Dict, multiple: int) -> Dict:
+    """Make the batch axis divide the mesh's data axis by dropping the
+    trailing remainder rows (standard drop-remainder semantics: only the
+    last uneven batch of an epoch loses < multiple utterances — far
+    cheaper than replicating the whole batch onto every device). Batches
+    smaller than `multiple` are returned unchanged (the trainer replicates
+    those). Host-side "#utt"/"#tok" stats are recomputed for the kept rows
+    so the reporter's weighted reductions stay honest."""
+    is_batch_arr = lambda v: isinstance(v, (np.ndarray, jax.Array)) and \
+        getattr(v, "ndim", 0) > 0
+    sizes = [v.shape[0] for v in egs.values() if is_batch_arr(v)]
+    sizes += [
+        v[0].shape[0] for v in egs.values()
+        if isinstance(v, list) and v and is_batch_arr(v[0])
     ]
     if not sizes:
         return egs
-    bsz = sizes[0]
-    pad = (-bsz) % multiple
-    if pad == 0:
+    bsz = min(sizes)
+    keep = (bsz // multiple) * multiple
+    if keep in (bsz, 0):
         return egs
     out = {}
     for k, v in egs.items():
-        if isinstance(v, np.ndarray) and v.ndim > 0 and v.shape[0] == bsz:
-            widths = [(0, pad)] + [(0, 0)] * (v.ndim - 1)
-            out[k] = np.pad(v, widths)
+        if is_batch_arr(v) and v.shape[0] == bsz:
+            out[k] = v[:keep]
+        elif isinstance(v, list) and v and is_batch_arr(v[0]):
+            out[k] = [r[:keep] for r in v]
         else:
             out[k] = v
-    out["#pad"] = pad
+    if "#utt" in out:
+        out["#utt"] = keep
+    if "#tok" in out and "tgt_len" in egs:
+        out["#tok"] = int(np.sum(np.asarray(egs["tgt_len"][:keep]))) + keep
+    elif "#tok" in out:
+        out["#tok"] = max(1, int(egs["#tok"] * keep / bsz))
     return out

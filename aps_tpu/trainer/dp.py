@@ -25,7 +25,7 @@ import numpy as np
 import optax
 
 from aps_tpu.libs import ApsRegisters
-from aps_tpu.parallel import (build_mesh, data_sharding,
+from aps_tpu.parallel import (build_mesh, data_sharding, fit_batch_to_mesh,
                               replicate_sharding, tp_param_shardings)
 from aps_tpu.trainer.base import Trainer
 
@@ -85,7 +85,10 @@ class DataParallelTrainer(Trainer):
         return sub
 
     def _device_egs(self, egs: Dict) -> Dict:
-        """Shard arrays over "data" when divisible, else replicate."""
+        """Shard batch arrays over "data". Uneven batches are trimmed to a
+        multiple of the mesh's data axis first (drop-remainder); only
+        batches smaller than the device count fall back to replication."""
+        egs = fit_batch_to_mesh(egs, self.ndev)
         out = {}
         for k, v in egs.items():
             if isinstance(v, (np.ndarray, jax.Array)) and getattr(
@@ -139,19 +142,26 @@ class DataParallelTrainer(Trainer):
         if self.cpt_stats is not None and "mstate" in self.cpt_stats:
             mstate = self.cpt_stats["mstate"]
         self.mstate = jax.device_put(mstate, repl)
+        # optimizer moments inherit the parameter shardings (replicated or
+        # TP) from tx.init on the already-placed params; restored leaves
+        # are put back with the same shardings so resume-under-TP keeps
+        # the memory layout of a fresh run
+        self.opt_state = self.tx.init(self.params)
         if self.cpt_stats is not None and self.init_mode == "resume" and \
                 "opt_state" in self.cpt_stats:
-            opt_state = self.cpt_stats["opt_state"]
-        else:
-            opt_state = self.tx.init(self.params)
-        if self.tensor_parallel > 1:
-            # adam moments follow the parameter shardings automatically
-            # when initialized from sharded params; restored states are
-            # placed by matching leaf shapes against the params tree
+
+            def place(ref, v):
+                if not isinstance(ref, jax.Array):
+                    return v
+                # moments inherit the param shardings from tx.init; leaves
+                # tx.init created itself (step counts) sit uncommitted on
+                # one device — replicate those over the mesh instead
+                sharding = ref.sharding if len(
+                    ref.sharding.device_set) == self.ndev else repl
+                return jax.device_put(jnp.asarray(v), sharding)
+
             self.opt_state = jax.tree_util.tree_map(
-                lambda v: jax.device_put(jnp.asarray(v)), opt_state)
-        else:
-            self.opt_state = jax.device_put(opt_state, repl)
+                place, self.opt_state, self.cpt_stats["opt_state"])
         num_params = sum(
             np.prod(p.shape)
             for p in jax.tree_util.tree_leaves(self.params)) / 1e6

