@@ -7,5 +7,3 @@ sharded over a jax device mesh.
 """
 
 __version__ = "0.1.0"
-
-distributed = None  # populated lazily via aps_tpu.distributed

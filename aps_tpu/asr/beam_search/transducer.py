@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from aps_tpu.asr.beam_search.lm import LmAdapter, RnnLmAdapter
-from aps_tpu.asr.beam_search.utils import jit_apply
+from aps_tpu.asr.beam_search.utils import ExecutableCache, jit_apply
 from aps_tpu.const import MIN_F32
 
 
@@ -199,7 +199,7 @@ def greedy_search(nnet, variables, x, **kwargs) -> List[Dict]:
 
 
 # jitted batched-search executables, keyed by (model, knobs, shapes)
-_BATCH_EXECUTABLES = {}
+_BATCH_EXECUTABLES = ExecutableCache(maxsize=32)
 
 
 def beam_search_batch(nnet, variables, batch: List,
@@ -220,17 +220,18 @@ def beam_search_batch(nnet, variables, batch: List,
                                      x_len, method="decode_enc")
     key = (id(nnet), id(lm), lm_weight, beam_size,
            enc_out.shape[1:], S, matmul_precision)
-    if key not in _BATCH_EXECUTABLES:
 
+    def _build():
         def _run(variables, enc_out, enc_len):
             with jax.default_matmul_precision(matmul_precision):
                 return jax.vmap(lambda e, el: _search_core(
                     nnet, variables, e, el, lm, lm_weight, beam_size))(
                         enc_out, enc_len)
 
-        _BATCH_EXECUTABLES[key] = jax.jit(_run)
-    final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,
-                                                   enc_len))
+        return jax.jit(_run)
+
+    step = _BATCH_EXECUTABLES.get(key, _build)
+    final = jax.device_get(step(variables, enc_out, enc_len))
     gather = lambda tree, b: jax.tree_util.tree_map(lambda x: x[b], tree)
     return [
         _extract(gather(final, b), nnet.blank, nbest, len_norm)

@@ -19,7 +19,7 @@ import numpy as np
 from aps_tpu.asr.beam_search.ctc import CtcScorer
 from aps_tpu.asr.beam_search.lm import LmAdapter
 from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
-                                           jit_apply,
+                                           ExecutableCache, jit_apply,
                                            apply_eos_threshold, disable_unk,
                                            extract_nbest, init_beam_state,
                                            mask_finished_scores)
@@ -180,7 +180,7 @@ def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs):
 
 
 # jitted batched-search executables, keyed by (model, search knobs, shapes)
-_BATCH_EXECUTABLES = {}
+_BATCH_EXECUTABLES = ExecutableCache(maxsize=32)
 
 
 def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
@@ -215,8 +215,8 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
 
     key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), ml,
            use_ctc, enc_out.shape[1:], S, matmul_precision)
-    if key not in _BATCH_EXECUTABLES:
 
+    def _build():
         def _run(variables, enc_out, enc_len, ctc_out):
             def core(enc, el, ctc):
                 return _search_core(nnet, variables, enc, el, ctc, lm,
@@ -228,9 +228,10 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
                         enc_out, enc_len)
                 return jax.vmap(core)(enc_out, enc_len, ctc_out)
 
-        _BATCH_EXECUTABLES[key] = jax.jit(_run)
-    final = jax.device_get(_BATCH_EXECUTABLES[key](variables, enc_out,
-                                                   enc_len, ctc_out))
+        return jax.jit(_run)
+
+    step = _BATCH_EXECUTABLES.get(key, _build)
+    final = jax.device_get(step(variables, enc_out, enc_len, ctc_out))
     gather = lambda tree, b: jax.tree_util.tree_map(lambda x: x[b], tree)
     return [
         extract_nbest(gather(final, b), param, nbest, final=True)

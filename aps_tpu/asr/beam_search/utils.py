@@ -138,10 +138,33 @@ def extract_nbest(state: BeamState, param: BeamSearchParam, nbest: int,
     return hyps[:nbest]
 
 
+class ExecutableCache(object):
+    """Bounded LRU of jitted closures keyed (partly) by object identity.
+    Each cached closure keeps its key objects (nnet/lm) alive, so Python
+    can never hand a live entry's id() to a new object — the bound both
+    caps memory in a long-running decode service and rules out stale-id
+    aliasing after an eviction (the aliased entry is gone by then)."""
+
+    def __init__(self, maxsize: int = 32):
+        from collections import OrderedDict
+        self._entries = OrderedDict()
+        self._maxsize = maxsize
+
+    def get(self, key, build):
+        if key in self._entries:
+            self._entries.move_to_end(key)
+            return self._entries[key]
+        if len(self._entries) >= self._maxsize:
+            self._entries.popitem(last=False)
+        fn = build()
+        self._entries[key] = fn
+        return fn
+
+
 # jitted nnet.apply entry points, keyed by (model, method): decoders call
 # the encoder once per utterance/bucket — eager dispatch costs a device
 # round trip per op on remote-device setups
-_APPLY_EXECUTABLES = {}
+_APPLY_EXECUTABLES = ExecutableCache(maxsize=64)
 
 
 def jit_apply(nnet, variables, *args, method: str):
@@ -149,7 +172,6 @@ def jit_apply(nnet, variables, *args, method: str):
 
     # ambient matmul precision is baked in at trace time -> part of the key
     key = (id(nnet), method, jax.config.jax_default_matmul_precision)
-    if key not in _APPLY_EXECUTABLES:
-        _APPLY_EXECUTABLES[key] = jax.jit(
-            lambda v, *a: nnet.apply(v, *a, method=method))
-    return _APPLY_EXECUTABLES[key](variables, *args)
+    fn = _APPLY_EXECUTABLES.get(
+        key, lambda: jax.jit(lambda v, *a: nnet.apply(v, *a, method=method)))
+    return fn(variables, *args)

@@ -28,6 +28,12 @@ def init(backend: str = "none",
         raise ValueError(f"Unknown distributed backend: {backend}")
     BACKEND = backend
     if backend == "jax" and num_processes > 1:
+        try:
+            # CPU meshes need a cross-process collective backend; this
+            # config is ignored by TPU platforms (ICI handles collectives)
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
@@ -62,8 +68,9 @@ def all_reduce(value, average: bool = True):
     """
     if jax.process_count() == 1:
         return value
-    # multi-host: reduce via a tiny jitted psum across processes
+    # multi-host: gather per-process values then reduce on host
+    from jax.experimental import multihost_utils
     arr = np.asarray(value, dtype=np.float32)
-    out = jax.experimental.multihost_utils.process_allgather(arr)
+    out = multihost_utils.process_allgather(arr)
     red = out.sum(axis=0)
     return red / jax.process_count() if average else red

@@ -426,3 +426,54 @@ def test_average_checkpoint_and_export(tmp_path):
              "--num-bins", "257"])
     assert (out_dir / "model.stablehlo").exists()
     assert (out_dir / "model.json").exists()
+
+
+def test_utils_data_tools(tmp_path):
+    """utils/{tokenizer,filter_scp,split_scp}.py (reference utils/ parity)."""
+    text = tmp_path / "text"
+    text.write_text("utt1 hello world\nutt2 foo bar\nutt3 baz qux\n"
+                    "utt4 one two\n")
+    # tokenizer: char units + vocab dump
+    tok = tmp_path / "tok"
+    vocab = tmp_path / "dict"
+    run_cmd(["utils/tokenizer.py", str(text), str(tok), "--unit", "char",
+             "--space", "<space>", "--dump-vocab", str(vocab),
+             "--add-units", "<sos>,<eos>,<unk>"])
+    lines = tok.read_text().strip().split("\n")
+    assert lines[0].split("\t")[0] == "utt1"
+    assert lines[0].split("\t")[1].split()[:6] == \
+        ["h", "e", "l", "l", "o", "<space>"]
+    units = dict(ln.split() for ln in vocab.read_text().strip().split("\n"))
+    assert units["<sos>"] == "0" and units["<eos>"] == "1"
+    assert "<space>" in units and "h" in units
+    # filter_scp: keep & exclude
+    ids = tmp_path / "ids"
+    ids.write_text("utt1\nutt3\n")
+    kept = run_cmd(["utils/filter_scp.py", str(ids), str(text)]).stdout
+    assert [ln.split()[0] for ln in kept.strip().split("\n")] == \
+        ["utt1", "utt3"]
+    dropped = run_cmd(["utils/filter_scp.py", "--exclude", str(ids),
+                       str(text)]).stdout
+    assert [ln.split()[0] for ln in dropped.strip().split("\n")] == \
+        ["utt2", "utt4"]
+    # split_scp: 3-way split covers all lines, near-equal
+    outs = [str(tmp_path / f"s{i}.scp") for i in range(3)]
+    run_cmd(["utils/split_scp.py", str(text)] + outs)
+    got = []
+    for o in outs:
+        part = open(o).read().strip().split("\n")
+        assert len(part) in (1, 2)
+        got += part
+    assert sorted(ln.split()[0] for ln in got) == \
+        ["utt1", "utt2", "utt3", "utt4"]
+    # -j mode reproduces chunk 1
+    run_cmd(["utils/split_scp.py", "-j", "3", "1", str(text),
+             str(tmp_path / "j1.scp")])
+    assert open(tmp_path / "j1.scp").read() == open(outs[1]).read()
+    # --utt2spk keeps speakers together
+    u2s = tmp_path / "utt2spk"
+    u2s.write_text("utt1 A\nutt2 A\nutt3 B\nutt4 B\n")
+    outs2 = [str(tmp_path / f"u{i}.scp") for i in range(2)]
+    run_cmd(["utils/split_scp.py", f"--utt2spk={u2s}", str(text)] + outs2)
+    assert [ln.split()[0] for ln in open(outs2[0]).read().split("\n")
+            if ln] == ["utt1", "utt2"]
