@@ -150,6 +150,11 @@ def aps_dataloader(fmt: str = "am@raw", **kwargs):
 def aps_task(task: str, nnet, **kwargs):
     """Build a Task module wrapping `nnet`."""
     cls = _lookup(ApsRegisters.task, ApsModules.task_submodules, task, "task")
+    # reference task_conf names the loss choice "objf"
+    # (e.g. conf/sse/wham/1b.yaml); our flax task dataclasses reserve
+    # .objf for the objective method, so the field is objf_name
+    if "objf" in kwargs:
+        kwargs["objf_name"] = kwargs.pop("objf")
     return cls(nnet=nnet, **kwargs)
 
 

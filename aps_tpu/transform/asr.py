@@ -359,11 +359,14 @@ class CmvnTransform(nn.Module):
 
 
 class SpecAugTransform(nn.Module):
-    """SpecAugment: per-utterance coin with prob p, then time/freq masks."""
+    """SpecAugment: per-utterance coin with prob p, then time/freq masks.
+    maxp_time < 1 caps each time mask at that fraction of the utterance
+    (the reference's aug_maxp_time)."""
     p: float = 0.5
     adaptive_args: Tuple[float, float] = (0.0, 0.0)
     time_args: Tuple[int, int] = (40, 1)
     freq_args: Tuple[int, int] = (30, 1)
+    maxp_time: float = 1.0
     mask_zero: bool = True
 
     def exportable(self) -> bool:
@@ -378,9 +381,12 @@ class SpecAugTransform(nn.Module):
             N, _, T, F = x.shape
         else:
             N, T, F = x.shape
+        ps = self.adaptive_args[1]
+        if self.maxp_time < 1.0:
+            ps = min(ps, self.maxp_time) if ps > 0 else self.maxp_time
         mask = tf_mask(km, N, (T, F),
                        pm=self.adaptive_args[0],
-                       ps=self.adaptive_args[1],
+                       ps=ps,
                        max_bands=self.freq_args[0],
                        max_frame=self.time_args[0],
                        num_freq_masks=self.freq_args[1],
@@ -471,6 +477,7 @@ class FeatureTransform(nn.Module):
     lifter: float = 0
     aug_prob: float = 0
     aug_adaptive_args: Tuple[float, float] = (0, 0)
+    aug_maxp_time: float = 1.0
     aug_mask_zero: bool = True
     aug_time_args: Tuple[int, int] = (40, 1)
     aug_freq_args: Tuple[int, int] = (30, 1)
@@ -568,6 +575,7 @@ class FeatureTransform(nn.Module):
                     adaptive_args=self.aug_adaptive_args,
                     freq_args=self.aug_freq_args,
                     time_args=self.aug_time_args,
+                    maxp_time=self.aug_maxp_time,
                     mask_zero=self.aug_mask_zero))
             elif tok == "splice":
                 layers.append(SpliceTransform(

@@ -1,19 +1,46 @@
 #!/usr/bin/env python
-"""Benchmark entry. Prints ONE JSON line {"metric","value","unit",
-"vs_baseline"}.
+"""Benchmark entry. Prints ONE JSON line. The object carries the headline
+metric {"metric","value","unit","vs_baseline"} plus an "extra" list with
+the secondary metrics so one driver run records the whole picture.
 
-Default metric (the BASELINE.md north star): batched beam-search decoding
-throughput of the flagship full-size Conformer AED on one chip — audio
-seconds decoded per wall-clock second (real-time factor), beam 8 with CTC
-fusion 0.4, batch 64 of 8 s utterances. vs_baseline is vs 1x real time
-(the reference publishes no RTF numbers; its decode loop is per-utterance).
+Headline (the BASELINE.md north star): batched beam-search decode RTF of
+the flagship full-size Conformer AED on one chip — audio seconds decoded
+per wall-clock second, beam 8 with CTC fusion 0.4, batch 64 of 8 s
+utterances. vs_baseline references the best recorded value of the previous
+round (BENCH_r01: 210.48x), so >1.0 means this round got faster.
 
-`python bench.py --metric train` reports the training-step RTF instead
-(see BENCHMARKS.md for the recorded numbers of both)."""
+Secondary metrics (also runnable alone via --metric):
+  train    — Conformer AED ctc_xent train-step RTF (bf16 matmuls) + MFU
+             estimated from the XLA-reported step FLOPs vs chip bf16 peak
+  separate — Conv-TasNet (sse@time_tcn) batched separation RTF (bf16)
+
+Recorded history lives in BENCHMARKS.md."""
 
 import argparse
 import json
 import time
+
+# best recorded values to compare against (previous round / BENCHMARKS.md)
+RECORDED = {
+    "decode": 210.48,  # BENCH_r01.json
+    "train": 60811.0,  # BENCHMARKS.md train-step RTF, bf16
+    "separate": 2681.0,  # BENCHMARKS.md Conv-TasNet bf16 batch 32 x 4 s
+}
+# TPU v5e bf16 peak (MXU): ~197 TFLOP/s; MFU is only estimated on TPU runs
+V5E_BF16_PEAK = 197e12
+
+
+def _best_wall(fn, iters: int, repeats: int) -> float:
+    """Best-of-N wall time of `iters` calls (the chip may be time-shared)."""
+    best = float("inf")
+    for _ in range(repeats):
+        beg = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        import jax
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - beg)
+    return best
 
 
 def bench_decode(on_tpu: bool):
@@ -45,20 +72,19 @@ def bench_decode(on_tpu: bool):
     # compile
     api.beam_search_batch(nnet, variables, utts, **kwargs)
     iters = 5 if on_tpu else 2
-    # the chip may be time-shared: take the best of 3 measurements
     best = float("inf")
     for _ in range(3 if on_tpu else 1):
         beg = time.perf_counter()
         for _ in range(iters):
-            out = api.beam_search_batch(nnet, variables, utts, **kwargs)
+            api.beam_search_batch(nnet, variables, utts, **kwargs)
         best = min(best, time.perf_counter() - beg)
-    del out
     rtf = B * secs * iters / best
     return {
         "metric": "conformer_aed_batched_decode_rtf",
         "value": round(rtf, 2),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(rtf / 1.0, 2),
+        "vs_baseline": round(rtf / RECORDED["decode"], 3),
+        "utts_per_sec": round(B * iters / best, 2),
     }
 
 
@@ -92,13 +118,13 @@ def bench_train(on_tpu: bool):
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-4))
     opt_state = tx.init(params)
 
-    @jax.jit
     def step(params, mstate, opt_state, egs, rng):
         def loss_fn(p):
-            out, new_mstate = task.apply(
-                {"params": p, **mstate}, egs, training=True,
-                rngs={"dropout": rng, "aug": rng, "ss": rng},
-                mutable=list(mstate.keys()))
+            with jax.default_matmul_precision("bfloat16"):
+                out, new_mstate = task.apply(
+                    {"params": p, **mstate}, egs, training=True,
+                    rngs={"dropout": rng, "aug": rng, "ss": rng},
+                    mutable=list(mstate.keys()))
             return out["loss"], new_mstate
 
         (loss, new_mstate), grads = jax.value_and_grad(
@@ -107,36 +133,97 @@ def bench_train(on_tpu: bool):
         params = optax.apply_updates(params, updates)
         return params, new_mstate, opt_state, loss
 
-    params, mstate, opt_state, loss = step(params, mstate, opt_state, egs,
-                                           rng)
+    jitted = jax.jit(step)
+    # XLA's own FLOP count for the whole compiled step -> MFU
+    step_flops = None
+    try:
+        cost = jitted.lower(params, mstate, opt_state, egs,
+                            rng).compile().cost_analysis()
+        if cost and "flops" in cost:
+            step_flops = float(cost["flops"])
+    except Exception:
+        pass
+    params, mstate, opt_state, loss = jitted(params, mstate, opt_state,
+                                             egs, rng)
     jax.block_until_ready(loss)
     iters = 10 if on_tpu else 3
     beg = time.perf_counter()
     for i in range(iters):
-        params, mstate, opt_state, loss = step(params, mstate, opt_state,
-                                               egs, jax.random.PRNGKey(i))
+        params, mstate, opt_state, loss = jitted(params, mstate, opt_state,
+                                                 egs, jax.random.PRNGKey(i))
     jax.block_until_ready(loss)
     wall = time.perf_counter() - beg
     rtf = N * secs * iters / wall
-    return {
+    out = {
         "metric": "conformer_aed_train_rtf",
         "value": round(rtf, 2),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(rtf / 1.0, 2),
+        "vs_baseline": round(rtf / RECORDED["train"], 3),
+        "utts_per_sec": round(N * iters / wall, 2),
+    }
+    if step_flops and on_tpu:
+        out["mfu"] = round(step_flops * iters / wall / V5E_BF16_PEAK, 4)
+    return out
+
+
+def bench_separate(on_tpu: bool):
+    """Conv-TasNet batched separation forward (the WSJ0-2mix north star)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aps_tpu.libs import aps_sse_nnet
+
+    nnet = aps_sse_nnet("sse@time_tcn")(
+        num_spks=2, L=20, N=256, X=8 if on_tpu else 2,
+        R=4 if on_tpu else 1, B=256, H=512)
+    B = 32 if on_tpu else 2
+    secs = 4.0
+    S = int(8000 * secs)
+    mix = jax.random.normal(jax.random.PRNGKey(0), (B, S)) * 0.1
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = nnet.init(rngs, mix, training=False)
+
+    @jax.jit
+    def forward(mix):
+        with jax.default_matmul_precision("bfloat16"):
+            return nnet.apply(variables, mix, training=False)
+
+    jax.block_until_ready(forward(mix))
+    iters = 20 if on_tpu else 2
+    wall = _best_wall(lambda: forward(mix), iters, 3 if on_tpu else 1)
+    rtf = B * secs * iters / wall
+    return {
+        "metric": "conv_tasnet_batched_separate_rtf",
+        "value": round(rtf, 2),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(rtf / RECORDED["separate"], 3),
+        "utts_per_sec": round(B * iters / wall, 2),
     }
 
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--metric", default="decode",
-                        choices=["decode", "train"])
+    parser.add_argument("--metric", default="all",
+                        choices=["all", "decode", "train", "separate"])
     args = parser.parse_args()
     import jax
     from aps_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    result = bench_decode(on_tpu) if args.metric == "decode" else \
-        bench_train(on_tpu)
+    fns = {"decode": bench_decode, "train": bench_train,
+           "separate": bench_separate}
+    if args.metric != "all":
+        print(json.dumps(fns[args.metric](on_tpu)))
+        return
+    result = fns["decode"](on_tpu)
+    extra = []
+    for name in ("train", "separate"):
+        try:
+            extra.append(fns[name](on_tpu))
+        except Exception as exc:  # secondary metrics must not kill the run
+            extra.append({"metric": name, "error": str(exc)[:200]})
+    result["extra"] = extra
     print(json.dumps(result))
 
 

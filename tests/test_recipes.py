@@ -1,0 +1,86 @@
+"""Every recipe config under examples/ must assemble: conf whitelist check,
+transform construction, nnet ctor (flax dataclasses reject unknown kwargs)
+and task registry lookup. Catches recipe/config drift without training."""
+
+import glob
+import os
+
+import pytest
+
+from aps_tpu.conf import load_am_conf, load_lm_conf, load_ss_conf
+from aps_tpu.libs import (ApsModules, ApsRegisters, aps_asr_nnet,
+                          aps_sse_nnet, aps_task, aps_transform)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+EXAMPLES = os.path.join(REPO, "examples")
+
+ASR_CONFS = sorted(
+    p for p in glob.glob(f"{EXAMPLES}/asr/*/conf/*.yaml"))
+LM_CONFS = sorted(
+    p for p in glob.glob(f"{EXAMPLES}/asr/*/conf/nnlm/*.yaml"))
+SSE_CONFS = sorted(
+    p for p in glob.glob(f"{EXAMPLES}/sse/*/conf/*.yaml"))
+
+_rel = lambda p: os.path.relpath(p, EXAMPLES)
+
+
+@pytest.fixture(scope="module")
+def dict_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("dict") / "dict"
+    units = [f"u{i}" for i in range(40)] + ["<sos>", "<eos>", "<unk>"]
+    path.write_text("\n".join(f"{u} {i}" for i, u in enumerate(units)))
+    return str(path)
+
+
+def _build_transforms(conf):
+    kwargs = {}
+    if "asr_transform" in conf:
+        kwargs["asr_transform"] = aps_transform("asr")(
+            **conf["asr_transform"])
+    if "enh_transform" in conf:
+        kwargs["enh_transform"] = aps_transform("enh")(
+            **conf["enh_transform"])
+    return kwargs
+
+
+@pytest.mark.parametrize("conf_path", ASR_CONFS, ids=_rel)
+def test_asr_recipe_conf(conf_path, dict_path):
+    conf, vocab = load_am_conf(conf_path, dict_path)
+    kwargs = dict(conf["nnet_conf"])
+    kwargs.update(_build_transforms(conf))
+    # factory lookups trigger the lazy imports; flax dataclass ctors
+    # validate kwarg names
+    nnet = aps_asr_nnet(conf["nnet"])(**kwargs)
+    aps_task(conf["task"], nnet, **conf.get("task_conf", {}))
+    ApsModules.import_all()
+    assert conf["data_conf"]["fmt"] in ApsRegisters.loader
+    assert "trainer_conf" in conf
+
+
+@pytest.mark.parametrize("conf_path", LM_CONFS, ids=_rel)
+def test_lm_recipe_conf(conf_path, dict_path):
+    conf, vocab = load_lm_conf(conf_path, dict_path)
+    nnet = aps_asr_nnet(conf["nnet"])(**conf["nnet_conf"])
+    aps_task(conf["task"], nnet, **conf.get("task_conf", {}))
+
+
+@pytest.mark.parametrize("conf_path", SSE_CONFS, ids=_rel)
+def test_sse_recipe_conf(conf_path):
+    conf = load_ss_conf(conf_path)
+    kwargs = dict(conf["nnet_conf"])
+    kwargs.update(_build_transforms(conf))
+    nnet = aps_sse_nnet(conf["nnet"])(**kwargs)
+    aps_task(conf["task"], nnet, **conf.get("task_conf", {}))
+    ApsModules.import_all()
+    assert conf["data_conf"]["fmt"] in ApsRegisters.loader
+
+
+def test_recipe_dirs_complete():
+    """Each recipe dir ships a run.sh and at least one conf."""
+    missing = []
+    for d in sorted(glob.glob(f"{EXAMPLES}/*/*/")):
+        if not glob.glob(f"{d}conf/*.yaml"):
+            missing.append(f"{_rel(d)}: no conf")
+        if not os.path.exists(os.path.join(d, "run.sh")):
+            missing.append(f"{_rel(d)}: no run.sh")
+    assert not missing, missing
