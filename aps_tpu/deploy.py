@@ -58,3 +58,26 @@ class RtStablehlo(object):
         out = self.exported.call(jnp.asarray(feats))
         out = np.asarray(out, dtype=np.float32)
         return out.tobytes(), tuple(out.shape)
+
+
+class RtSeparator(object):
+    """Offline wave-in/wave-out enhancement/separation runner for the C++
+    deployment runtime (examples/sse/export_dcunet — the reference's
+    examples/sse/torchscript_dcunet consumed a traced DCUNet the same way).
+    Calls the model's `infer` contract (aps_tpu/sse/base.py)."""
+
+    def __init__(self, cpt_dir: str, cpt_tag: str = "best"):
+        from aps_tpu.eval import NnetEvaluator
+        self.evaluator = NnetEvaluator(cpt_dir, cpt_tag=cpt_tag)
+        self._jit = jax.jit(
+            lambda mix: self.evaluator.nnet.apply(
+                self.evaluator.variables, mix, method="infer"))
+
+    def enhance_bytes(self, data: bytes,
+                      num_samples: int) -> Tuple[bytes, tuple]:
+        mix = np.frombuffer(data, dtype=np.float32)[:num_samples]
+        out = self._jit(jnp.asarray(mix))
+        if isinstance(out, (list, tuple)):  # multi-branch: stack sources
+            out = jnp.stack(list(out))
+        out = np.asarray(out, dtype=np.float32)
+        return out.tobytes(), tuple(out.shape)

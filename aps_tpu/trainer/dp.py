@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from aps_tpu.const import OOM_STRING
 from aps_tpu.libs import ApsRegisters
 from aps_tpu.parallel import (build_mesh, data_sharding, fit_batch_to_mesh,
                               replicate_sharding, tp_param_shardings)
@@ -255,9 +256,30 @@ class DataParallelTrainer(Trainer):
         lr = jnp.float32(self.lr_scheduler.get_lr())
         ssr = jnp.float32(self.ssr)
         noise = jnp.float32(1.0 if self._weight_noise_now() else 0.0)
-        (self.params, self.mstate, self.opt_state, stats,
-         finite) = self._step_fn(self.params, self.mstate, self.opt_state,
-                                 dev, lr, ssr, noise, self._next_rng())
+        try:
+            (self.params, self.mstate, self.opt_state, stats,
+             finite) = self._step_fn(self.params, self.mstate,
+                                     self.opt_state, dev, lr, ssr, noise,
+                                     self._next_rng())
+        except Exception as exc:  # device OOM skip (reference ddp.py:145)
+            if OOM_STRING not in repr(exc):
+                raise
+            # donate_argnums: if XLA already consumed the train state the
+            # run cannot continue — only skip when the buffers survived
+            # (typical for OOM while allocating a new bucket's executable)
+            for leaf in jax.tree_util.tree_leaves(
+                    (self.params, self.mstate, self.opt_state)):
+                if isinstance(leaf, jax.Array) and leaf.is_deleted():
+                    raise RuntimeError(
+                        "device OOM invalidated the donated train state; "
+                        "cannot skip this batch") from exc
+            shapes = [
+                x.shape for x in jax.tree_util.tree_leaves(dev)
+                if hasattr(x, "shape")
+            ]
+            self.reporter.log(f"Step {self.cur_step}: device OOM on batch "
+                              f"{shapes}, skipped")
+            return False
         ok = bool(finite)
         stats = dict(stats)
         stats["rate"] = self.lr_scheduler.get_lr()

@@ -23,7 +23,7 @@ import time
 # best recorded values to compare against (previous round / BENCHMARKS.md)
 RECORDED = {
     "decode": 210.48,  # BENCH_r01.json
-    "train": 60811.0,  # BENCHMARKS.md train-step RTF, bf16
+    "train": 3303.0,  # BENCHMARKS.md train-step RTF, bf16 (r2 corrected)
     "separate": 2681.0,  # BENCHMARKS.md Conv-TasNet bf16 batch 32 x 4 s
 }
 # TPU v5e bf16 peak (MXU): ~197 TFLOP/s; MFU is only estimated on TPU runs

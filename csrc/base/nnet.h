@@ -30,6 +30,24 @@ class PyNnet {
   void* model_ = nullptr;  // PyObject* (opaque to avoid Python.h in header)
 };
 
+// Offline wave-in/wave-out enhancement/separation executor backed by
+// aps_tpu.deploy.RtSeparator (the model's `infer` contract). Used by the
+// examples/sse/export_dcunet demo — the analog of the reference's
+// examples/sse/torchscript_dcunet/dcunet-enhan.cc consuming a traced net.
+class PySeparator {
+ public:
+  PySeparator(const std::string& cpt_dir, const std::string& cpt_tag = "best");
+  ~PySeparator();
+
+  // run the model on the whole utterance; out_shape is (S,) for single
+  // source models or (num_spks, S) for separators
+  bool Enhance(const float* samples, int32_t num_samples,
+               std::vector<float>* out, std::vector<int64_t>* out_shape);
+
+ private:
+  void* model_ = nullptr;
+};
+
 }  // namespace aps
 
 #endif  // APS_TPU_CSRC_BASE_NNET_H_

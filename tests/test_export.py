@@ -70,3 +70,53 @@ def test_export_streaming_step_equals_offline(rt_dfsmn, rng):
     stream = jnp.stack(outs, 1)
     np.testing.assert_allclose(np.asarray(stream), np.asarray(offline),
                                atol=1e-5)
+
+
+def test_deploy_rt_separator_wave_roundtrip(tmp_path, rng):
+    """RtSeparator (the offline wave->wave executor behind
+    examples/sse/export_dcunet) must reproduce the model's eager infer()
+    through the bytes ABI used by csrc/base/nnet.cc PySeparator."""
+    import pickle
+
+    import yaml
+
+    conf = {
+        "nnet": "sse@dcunet",
+        "nnet_conf": {
+            "cplx": True, "num_branch": 1, "non_linear": "tanh",
+            "K": "7,5;5,3", "S": "2,1;2,1", "C": "8,16", "P": "1,1",
+            "O": "0,0", "training_mode": "time",
+        },
+        "enh_transform": {"feats": "spectrogram", "frame_len": 512,
+                          "frame_hop": 256, "window": "sqrthann"},
+        "task": "sse@sisnr", "task_conf": {"num_spks": 1,
+                                           "permute": False},
+        "data_conf": {}, "trainer_conf": {},
+    }
+    transform = EnhTransform(**conf["enh_transform"])
+    nnet = aps_sse_nnet("sse@dcunet")(enh_transform=transform,
+                                      **conf["nnet_conf"])
+    mix = jnp.zeros((1, 8192), dtype=jnp.float32)
+    variables = nnet.init(jax.random.PRNGKey(0), mix, training=False)
+    cpt = tmp_path / "cpt"
+    cpt.mkdir()
+    (cpt / "train.yaml").write_text(yaml.dump(conf))
+    with open(cpt / "best.ckpt", "wb") as fd:
+        pickle.dump({
+            "params": jax.tree_util.tree_map(np.asarray,
+                                             variables["params"]),
+            "mstate": jax.tree_util.tree_map(
+                np.asarray,
+                {k: v for k, v in variables.items() if k != "params"}),
+            "epoch": 1,
+        }, fd)
+
+    from aps_tpu.deploy import RtSeparator
+    sep = RtSeparator(str(cpt))
+    wave = rng.standard_normal(8192).astype(np.float32) * 0.1
+    out_bytes, shape = sep.enhance_bytes(wave.tobytes(), wave.size)
+    got = np.frombuffer(out_bytes, dtype=np.float32).reshape(shape)
+    want = np.asarray(nnet.apply(variables, jnp.asarray(wave),
+                                 method="infer"))
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               atol=1e-4)

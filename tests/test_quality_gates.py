@@ -1,0 +1,234 @@
+"""Machine-checkable accuracy gates (stand-ins for BASELINE.md parity
+targets that need real corpora): a tone-language ASR model must decode a
+HELD-OUT set at 0% WER with joint CTC/attention scoring, and sine-mixture
+separation must exceed 10 dB SiSNR improvement. These exercise the full
+train -> checkpoint -> decode / separate -> score path through the real
+CLIs (mirrors the reference's published per-recipe accuracy gates,
+/root/reference/examples/asr/aishell_v1/README.md)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+ENV.pop("PALLAS_AXON_POOL_IPS", None)
+
+TONES = {"a": 330.0, "b": 880.0, "c": 1760.0}
+SR = 16000
+SEG = 2560  # 0.16 s tone per token
+GAP = 800  # 0.05 s silence after each tone (token boundary cue)
+
+
+def run_cmd(args):
+    proc = subprocess.run([sys.executable] + args, cwd=REPO, env=ENV,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(f"cmd failed: {' '.join(args)}\n"
+                           f"stdout: {proc.stdout[-2000:]}\n"
+                           f"stderr: {proc.stderr[-2000:]}")
+    return proc
+
+
+@pytest.fixture(scope="module")
+def tone_corpus(tmp_path_factory):
+    """Utterances are repeat-free tone sequences with a short silence gap
+    after every tone: the audio fully determines the token string, so a
+    correct model can reach 0% WER on held-out data."""
+    from aps_tpu.io import write_audio
+    root = tmp_path_factory.mktemp("tone")
+    rng = np.random.default_rng(7)
+    with open(root / "dict", "w") as fd:
+        for i, tok in enumerate(["<unk>", "a", "b", "c", "<sos>", "<eos>"]):
+            fd.write(f"{tok} {i}\n")
+    names = list(TONES)
+    t_axis = np.arange(SEG) / SR
+    for sub, n in [("tr", 200), ("cv", 12)]:
+        with open(root / f"{sub}_wav.scp", "w") as w, \
+                open(root / f"{sub}_text", "w") as t, \
+                open(root / f"{sub}_dur", "w") as d:
+            for i in range(n):
+                toks = [rng.choice(names)]
+                for _ in range(int(rng.integers(1, 5))):
+                    # no immediate repeats: adjacent identical tones have
+                    # no acoustic boundary and are genuinely ambiguous
+                    toks.append(rng.choice(
+                        [x for x in names if x != toks[-1]]))
+                segs = []
+                for tok in toks:
+                    segs.append(0.3 * np.sin(
+                        2 * np.pi * TONES[tok] * t_axis))
+                    segs.append(np.zeros(GAP))
+                wav = np.concatenate(segs).astype(np.float32)
+                wav += 0.01 * rng.standard_normal(wav.size).astype(
+                    np.float32)
+                path = root / f"{sub}_{i}.wav"
+                write_audio(str(path), wav, sr=SR)
+                w.write(f"utt{i} {path}\n")
+                t.write(f"utt{i} " + " ".join(toks) + "\n")
+                d.write(f"utt{i} {wav.size / SR}\n")
+    conf = {
+        "nnet": "asr@att",
+        "nnet_conf": {
+            "input_size": 40,
+            "att_type": "ctx",
+            "att_kwargs": {"att_dim": 32},
+            "enc_type": "pytorch_rnn",
+            "enc_proj": 32,
+            "enc_kwargs": {"hidden": 64, "num_layers": 1,
+                           "bidirectional": True},
+            "dec_kwargs": {"hidden": 64, "num_layers": 1},
+        },
+        "asr_transform": {
+            "feats": "fbank-log-cmvn", "frame_len": 400, "frame_hop": 160,
+            "num_mels": 40, "window": "hamm",
+        },
+        "task": "asr@ctc_xent",
+        "task_conf": {"ctc_weight": 0.2},
+        "data_conf": {
+            "fmt": "am@raw",
+            "loader": {"max_dur": 10, "min_dur": 0.1, "min_token_num": 1,
+                       "tokenizer": "word"},
+            "train": {"wav_scp": str(root / "tr_wav.scp"),
+                      "text": str(root / "tr_text"),
+                      "utt2dur": str(root / "tr_dur")},
+            "valid": {"wav_scp": str(root / "cv_wav.scp"),
+                      "text": str(root / "cv_text"),
+                      "utt2dur": str(root / "cv_dur")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 2e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 8},
+            "clip_gradient": 5.0,
+            "no_impr": 100,
+            "report_metrics": ["loss", "accu"],
+        },
+    }
+    conf_path = root / "1a.yaml"
+    conf_path.write_text(yaml.dump(conf))
+    return root, conf_path
+
+
+def _wer_of(decode_path, text_path) -> float:
+    proc = run_cmd(["cmd/compute_wer.py", str(decode_path),
+                    str(text_path)])
+    # WerReporter prints "Total (N utterances): err/len = X.XX%, ..."
+    for line in proc.stdout.splitlines():
+        if line.startswith("Total (") and "=" in line:
+            return float(line.split("=")[1].split("%")[0])
+    raise RuntimeError(f"no WER in output:\n{proc.stdout}")
+
+
+def test_asr_heldout_zero_wer(tone_corpus, tmp_path):
+    """Train on 200 utterances, decode the 12 held-out ones with joint
+    CTC/attention scoring: must be exactly 0% WER."""
+    root, conf_path = tone_corpus
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "16",
+             "--epochs", "40", "--dict", str(root / "dict"),
+             "--num-workers", "0", "--prog-interval", "100"])
+    out = tmp_path / "cv.decode"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
+             "--am", str(cpt), "--beam-size", "4", "--nbest", "1",
+             "--max-len", "8", "--ctc-weight", "0.5",
+             "--dict", str(cpt / "dict")])
+    wer = _wer_of(out, root / "cv_text")
+    assert wer == 0.0, f"held-out WER {wer}% != 0 (quality gate)"
+
+
+def _sisnr(est, ref) -> float:
+    est = est - est.mean()
+    ref = ref - ref.mean()
+    proj = np.dot(est, ref) / (np.dot(ref, ref) + 1e-8) * ref
+    return float(10 * np.log10(
+        np.dot(proj, proj) / (np.dot(est - proj, est - proj) + 1e-8)))
+
+
+def test_sse_sisnr_improvement_gate(tmp_path):
+    """Sine-mixture separation must gain > 10 dB SiSNR over the mixture."""
+    from aps_tpu.io import read_audio, write_audio
+    root = tmp_path / "ws"
+    os.makedirs(root)
+    rng = np.random.default_rng(3)
+    S = 16384
+    for sub, n in [("tr", 16), ("cv", 8)]:
+        with open(root / f"{sub}_mix.scp", "w") as m, \
+                open(root / f"{sub}_spk1.scp", "w") as s1, \
+                open(root / f"{sub}_spk2.scp", "w") as s2:
+            for i in range(n):
+                t = np.linspace(0, 1, S)
+                a = 0.3 * np.sin(2 * np.pi * rng.uniform(200, 400) * t)
+                b = 0.3 * np.sin(2 * np.pi * rng.uniform(800, 1200) * t)
+                a, b = a.astype(np.float32), b.astype(np.float32)
+                for name, sig, fd in [("mix", a + b, m), ("spk1", a, s1),
+                                      ("spk2", b, s2)]:
+                    path = root / f"{sub}_{name}_{i}.wav"
+                    write_audio(str(path), sig, sr=SR)
+                    fd.write(f"utt{i} {path}\n")
+    conf = {
+        "nnet": "sse@base_rnn",
+        "nnet_conf": {"input_size": 257, "num_bins": 257, "num_spks": 2,
+                      "hidden": 64, "num_layers": 1, "bidirectional": True,
+                      "training_mode": "time"},
+        "enh_transform": {"feats": "spectrogram-log-cmvn",
+                          "frame_len": 512, "frame_hop": 256},
+        "task": "sse@sisnr",
+        "task_conf": {"num_spks": 2},
+        "data_conf": {
+            "fmt": "se@chunk",
+            "loader": {"chunk_size": S, "sr": SR},
+            "train": {"mix_scp": str(root / "tr_mix.scp"),
+                      "ref_scp": f"{root}/tr_spk1.scp,{root}/tr_spk2.scp"},
+            "valid": {"mix_scp": str(root / "cv_mix.scp"),
+                      "ref_scp": f"{root}/cv_spk1.scp,{root}/cv_spk2.scp"},
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 3e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 3},
+            "clip_gradient": 5.0,
+            "no_impr": 100,
+            "report_metrics": ["loss"],
+        },
+    }
+    conf_path = root / "1a.yaml"
+    conf_path.write_text(yaml.dump(conf))
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_ss.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "8",
+             "--epochs", "15", "--num-workers", "0",
+             "--prog-interval", "50"])
+    sep = tmp_path / "sep"
+    run_cmd(["cmd/separate.py", str(root / "cv_mix.scp"), str(sep),
+             "--checkpoint", str(cpt)])
+    gains = []
+    for i in range(8):
+        mix = read_audio(str(root / f"cv_mix_{i}.wav"))
+        for spk in (1, 2):
+            ref = read_audio(str(root / f"cv_spk{spk}_{i}.wav"))
+            est = read_audio(str(sep / f"spk{spk}" / f"utt{i}.wav"))
+            n = min(est.size, ref.size)
+            gains.append(_sisnr(est[:n], ref[:n]) -
+                         _sisnr(mix[:n], ref[:n]))
+    # permutation: the model may swap output branches consistently
+    gain = float(np.mean(gains))
+    if gain < 10.0:
+        swapped = []
+        for i in range(8):
+            mix = read_audio(str(root / f"cv_mix_{i}.wav"))
+            for spk, other in ((1, 2), (2, 1)):
+                ref = read_audio(str(root / f"cv_spk{spk}_{i}.wav"))
+                est = read_audio(str(sep / f"spk{other}" / f"utt{i}.wav"))
+                n = min(est.size, ref.size)
+                swapped.append(_sisnr(est[:n], ref[:n]) -
+                               _sisnr(mix[:n], ref[:n]))
+        gain = max(gain, float(np.mean(swapped)))
+    assert gain > 10.0, f"SiSNRi {gain:.2f} dB <= 10 dB (quality gate)"

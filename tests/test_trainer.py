@@ -259,6 +259,35 @@ def test_trainer_stops_on_consecutive_errors(tmp_path, monkeypatch):
         trainer.run(loader, loader, num_epochs=1)
 
 
+def test_trainer_oom_step_is_skipped(tmp_path, monkeypatch):
+    """Fault injection: an XLA RESOURCE_EXHAUSTED from the jitted step is
+    caught and the batch skipped — training continues with the surviving
+    state (the reference's OOM-catch-skip, aps/trainer/ddp.py:145)."""
+    task = build_task()
+    trainer = make_trainer(tmp_path, task, stop_on_errors=10)
+    loader = SyntheticSSELoader(num_batches=3)
+    trainer.init_state(trainer.prep_egs(next(iter(loader))))
+    real_step, calls = trainer._step_fn, []
+
+    def flaky(*args, **kwargs):
+        calls.append(None)
+        if len(calls) == 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory "
+                               "allocating 9999999999 bytes")
+        return real_step(*args, **kwargs)
+
+    trainer._step_fn = flaky
+    results = [
+        trainer.train_one_step(trainer.prep_egs(egs)) for egs in loader
+    ]
+    assert results == [True, False, True]
+    # but a non-OOM failure must propagate
+    trainer._step_fn = lambda *a, **k: (_ for _ in ()).throw(
+        ValueError("bad shapes"))
+    with pytest.raises(ValueError, match="bad shapes"):
+        trainer.train_one_step(trainer.prep_egs(next(iter(loader))))
+
+
 def test_trainer_uneven_batch_trims_and_shards(tmp_path):
     """A batch of 12 on an 8-device mesh is trimmed to 8 (drop-remainder)
     and sharded over 'data' — not replicated (VERDICT r1 missing #8)."""
