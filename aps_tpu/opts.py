@@ -39,6 +39,8 @@ class BaseTrainParser(object):
                         help="Log progress every N batches")
     parser.add_argument("--num-workers", type=int, default=0,
                         help="Host-side data workers")
+    parser.add_argument("--dev-batch-factor", type=float, default=1,
+                        help="Validation uses batch-size/factor batches")
     parser.add_argument("--resume", type=str, default="",
                         help="Checkpoint to resume from")
     parser.add_argument("--init", type=str, default="",
@@ -100,6 +102,17 @@ class DecodingParser(object):
     parser.add_argument("--cov-threshold", type=float, default=0.5)
     parser.add_argument("--eos-threshold", type=float, default=1)
     parser.add_argument("--temperature", type=float, default=1)
+    parser.add_argument("--allow-partial", action=StrToBoolAction,
+                        default=True, nargs="?", const=True,
+                        help="Emit un-ended hypotheses when the search "
+                        "hits max-len")
+    parser.add_argument("--end-detect", action=StrToBoolAction,
+                        default=False, nargs="?", const=True,
+                        help="Stop the search early once the beam can no "
+                        "longer improve")
+    parser.add_argument("--disable-unk", action=StrToBoolAction,
+                        default=False, nargs="?", const=True,
+                        help="Never emit the <unk> symbol (needs --dict)")
     parser.add_argument("--spm", type=str, default="",
                         help="sentencepiece model for subword detok")
     parser.add_argument("--text-norm", type=str, default="")

@@ -27,7 +27,7 @@ logger = get_logger(__name__)
 beam_search_params = [
     "beam_size", "nbest", "max_len", "min_len", "len_norm", "lm_weight",
     "ctc_weight", "temperature", "len_penalty", "cov_penalty",
-    "eos_threshold", "cov_threshold"
+    "eos_threshold", "cov_threshold", "allow_partial", "end_detect"
 ]
 
 
@@ -142,6 +142,12 @@ def run(args):
                                   show_unk=args.show_unk, spm=args.spm)
     kwargs = {k: getattr(args, k) for k in beam_search_params
               if hasattr(args, k)}
+    if getattr(args, "disable_unk", False):
+        if not args.dict:
+            raise RuntimeError("--disable-unk needs --dict to look up "
+                               "the <unk> id")
+        from aps_tpu.const import UNK_TOKEN
+        kwargs["unk"] = load_dict(args.dict)[UNK_TOKEN]
     stdout_top, top = io_wrapper(args.best, "w")
     if args.dump_nbest:
         stdout_nbest, nbest_fd = io_wrapper(args.dump_nbest, "w")

@@ -41,6 +41,13 @@ def run(args):
                                   show_unk=args.show_unk, spm=args.spm)
     kwargs = {k: getattr(args, k) for k in beam_search_params
               if hasattr(args, k)}
+    if getattr(args, "disable_unk", False):
+        if not args.dict:
+            raise RuntimeError("--disable-unk needs --dict to look up "
+                               "the <unk> id")
+        from aps_tpu.conf import load_dict
+        from aps_tpu.const import UNK_TOKEN
+        kwargs["unk"] = load_dict(args.dict)[UNK_TOKEN]
     stdout_top, top = io_wrapper(args.best, "w")
     timer = SimpleTimer()
     tot_utts, tot_dur = 0, 0

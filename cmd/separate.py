@@ -46,8 +46,12 @@ class Separator(NnetEvaluator):
         the true length); set <= 1 for exact per-length compilation."""
         src = jnp.asarray(src, dtype=self.dtype)
         N = src.shape[-1]
-        infer = (self._jit_infer if mode == "time" else
-                 lambda v, m: self.apply(v, m, mode=mode, method="infer"))
+        if mode != "time":
+            # freq mode returns TF masks/spectra: frame counts don't map
+            # onto sample counts, so run exact (no length grid, no chunks)
+            return self.nnet.apply(self.variables, src, mode=mode,
+                                   method="infer")
+        infer = self._jit_infer
         if chunk_len <= 0 or N <= chunk_len:
             if pad_grid > 1:
                 from aps_tpu.loader.utils import quantize_len
@@ -105,6 +109,13 @@ def run(args):
     from aps_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)
+    if args.chunk_cfg:
+        # reference interface: seconds of "lctx,chunk,rctx" ->
+        # chunk_len = lctx+chunk+rctx samples, chunk_hop = chunk samples
+        lctx, chunk, rctx = (float(v) for v in args.chunk_cfg.split(","))
+        if chunk > 0:
+            args.chunk_hop = int(chunk * args.sr)
+            args.chunk_len = int((lctx + chunk + rctx) * args.sr)
     sep_dir = pathlib.Path(args.sep_dir)
     sep_dir.mkdir(parents=True, exist_ok=True)
     separator = Separator(args.checkpoint, cpt_tag=args.tag,
@@ -115,6 +126,12 @@ def run(args):
     scps = {}
 
     def emit(key, sep):
+        if args.mode != "time":
+            # TF-mask/spectrogram output (reference cmd/separate.py:113)
+            sep = (np.stack([np.asarray(s) for s in sep])
+                   if isinstance(sep, (list, tuple)) else np.asarray(sep))
+            np.save(sep_dir / f"{key}.npy", sep)
+            return
         if isinstance(sep, (list, tuple)):
             for i, s in enumerate(sep):
                 path = sep_dir / f"spk{i + 1}" / f"{key}.wav"
@@ -128,7 +145,8 @@ def run(args):
     pending = []
     for key, mix in reader:
         tot_dur += mix.shape[-1] / args.sr
-        if args.batch_size > 1 and mix.ndim == 1 and args.chunk_len <= 0:
+        if (args.mode == "time" and args.batch_size > 1 and mix.ndim == 1
+                and args.chunk_len <= 0):
             pending.append((key, mix))
             if len(pending) == args.batch_size:
                 outs = separator.run_batch([m for _, m in pending],
@@ -138,7 +156,7 @@ def run(args):
                 pending = []
             continue
         emit(key, separator.run(mix, chunk_hop=args.chunk_hop,
-                                chunk_len=args.chunk_len,
+                                chunk_len=args.chunk_len, mode=args.mode,
                                 pad_grid=args.pad_grid))
     if pending:
         outs = separator.run_batch([m for _, m in pending],
@@ -169,6 +187,13 @@ if __name__ == "__main__":
     parser.add_argument("--chunk-len", type=int, default=-1,
                         help="Chunk length in samples (-1: whole utt)")
     parser.add_argument("--chunk-hop", type=int, default=-1)
+    parser.add_argument("--chunk-cfg", type=str, default="",
+                        help="Reference-style 'lctx,chunk,rctx' in seconds "
+                        "(overrides --chunk-len/--chunk-hop)")
+    parser.add_argument("--mode", type=str, default="time",
+                        choices=["time", "freq"],
+                        help="time: write wavs; freq: dump the model's "
+                        "TF-masks/spectra as .npy")
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="bfloat16 is much faster on TPU")

@@ -112,8 +112,13 @@ def test_train_ss_and_separate(sse_workspace, tmp_path):
     proc = run_cmd(["cmd/compute_ss_metric.py",
                     f"{tmp_path}/sep1.scp,{tmp_path}/sep2.scp",
                     f"{root}/cv_spk1.scp,{root}/cv_spk2.scp",
-                    "--metric", "sisnr"])
+                    "--metric", "sisnr",
+                    "--per-utt", f"{tmp_path}/sisnr_utt",
+                    "--utt-ali", f"{tmp_path}/sisnr_ali"])
     assert "Total:" in proc.stdout
+    assert len(open(tmp_path / "sisnr_utt").readlines()) == 4
+    for line in open(tmp_path / "sisnr_ali"):
+        assert sorted(line.split()[1:]) == ["0", "1"]
     # batched separation matches per-utterance (equal-length inputs)
     sep_b = tmp_path / "sep_batched"
     run_cmd(["cmd/separate.py", str(root / "cv_mix.scp"), str(sep_b),
@@ -123,6 +128,13 @@ def test_train_ss_and_separate(sse_workspace, tmp_path):
     b = read_audio(str(sep_b / "spk1" / "utt0.wav"))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-4)
+    # freq mode dumps the TF masks as .npy (reference cmd/separate.py:113)
+    sep_f = tmp_path / "sep_freq"
+    run_cmd(["cmd/separate.py", str(root / "cv_mix.scp"), str(sep_f),
+             "--checkpoint", str(cpt), "--mode", "freq"])
+    masks = np.load(sep_f / "utt0.npy")
+    assert masks.ndim == 3 and masks.shape[0] == 2  # num_spks x F x T
+    assert np.all(masks >= 0)
 
 
 @pytest.fixture(scope="module")
@@ -204,20 +216,26 @@ def test_train_am_and_decode(am_workspace, tmp_path):
     run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
              "--checkpoint", str(cpt), "--batch-size", "4",
              "--epochs", "1", "--dict", str(root / "dict"),
-             "--num-workers", "0"])
+             "--num-workers", "0", "--dev-batch-factor", "2"])
     assert (cpt / "best.ckpt").exists()
     assert (cpt / "dict").exists()
-    # decode
+    # decode (exercising the search-knob plumbing: --disable-unk masks the
+    # <unk> id, --end-detect early-stops, --allow-partial keeps hypotheses)
     out = tmp_path / "hyp.text"
     run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
              "--am", str(cpt), "--beam-size", "2", "--nbest", "1",
-             "--max-len", "8", "--dict", str(cpt / "dict")])
+             "--max-len", "8", "--dict", str(cpt / "dict"),
+             "--disable-unk", "true", "--end-detect", "true",
+             "--allow-partial", "true"])
     lines = open(out).read().strip().split("\n")
     assert len(lines) == 10
-    # compute wer runs
+    assert all("<unk>" not in line for line in lines)
+    # compute wer runs (+ per-utterance dump)
+    per_utt = tmp_path / "per_utt"
     proc = run_cmd(["cmd/compute_wer.py", str(out),
-                    str(root / "cv_text")])
+                    str(root / "cv_text"), "--per-utt", str(per_utt)])
     assert "WER" in proc.stdout
+    assert len(open(per_utt).readlines()) == 10
 
 
 def test_cli_tools(am_workspace, tmp_path):
@@ -243,6 +261,27 @@ def test_cli_tools(am_workspace, tmp_path):
     ref = read_audio(orig["utt0"])
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-4)
+    # sharded archive: 2 arks + merged scp, same audio back
+    ark2 = tmp_path / "sh.ark"
+    scp2 = tmp_path / "sh.scp"
+    run_cmd(["cmd/archive_wav.py", str(root / "tr_wav.scp"), str(ark2),
+             str(scp2), "--num-jobs", "2", "--num-arks", "2"])
+    assert (tmp_path / "sh.0.ark").exists() and (tmp_path /
+                                                 "sh.1.ark").exists()
+    assert len(open(scp2).readlines()) == 12
+    from aps_tpu.io import AudioReader
+    np.testing.assert_allclose(AudioReader(str(scp2))["utt0"], ref,
+                               atol=1e-4)
+    # segments: extract slices named by segment key
+    seg_file = tmp_path / "segments"
+    with open(seg_file, "w") as fd:
+        fd.write("utt0-a utt0 0.00 0.20\nutt0-b utt0 0.20 0.40\n")
+    seg_dir = tmp_path / "seg_extracted"
+    run_cmd(["cmd/extract_wav.py", str(root / "tr_wav.scp"), str(seg_dir),
+             "--segment", str(seg_file)])
+    a = read_audio(str(seg_dir / "utt0-a.wav"))
+    assert a.shape[-1] == 3200
+    np.testing.assert_allclose(a, ref[:3200], atol=1e-4)
     # audio sanity scan
     proc = run_cmd(["cmd/check_audio.py", str(root / "tr_wav.scp")])
     # durations
