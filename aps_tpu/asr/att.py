@@ -125,8 +125,13 @@ class XfmrASR(ASREncoderDecoderBase):
         return self.decoder.step_inc(enc_out, tok, cache, t,
                                      enc_len=enc_len)
 
-    def decode_step(self, enc_out, prefix, prefix_len=None, enc_len=None):
-        """Score the whole prefix (N x U) and return last-position logits."""
+    def decode_step(self, enc_out, prefix, prefix_len=None, enc_len=None,
+                    out_idx=None):
+        """Score the whole prefix (N x U); out_idx selects ONE position's
+        hidden state BEFORE the vocab projection (the search only needs
+        position t — projecting all U positions to V every step costs
+        U x the largest matmul in the loop)."""
         dec_out, _ = self.decoder.step(enc_out, prefix, enc_len=enc_len,
-                                       tgt_len=prefix_len, training=False)
+                                       tgt_len=prefix_len, out_idx=out_idx,
+                                       training=False)
         return dec_out

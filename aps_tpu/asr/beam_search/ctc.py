@@ -6,11 +6,13 @@ Parity surface: /root/reference/aps/asr/beam_search/ctc.py (CtcApi:32
 beam_search/viterbi_align, CtcScorer:200 — the eq. 51-53 gamma recursions
 from "Hybrid CTC/Attention Architecture for End-to-End Speech Recognition").
 
-TPU design: CtcScorer keeps (gamma_n, gamma_b) as T x B arrays and advances
-all candidate extensions of all beams in ONE lax.scan over frames — it runs
-inside the jitted beam-search loop. The standalone prefix beam search (for
-encoder-only CTC models) runs on host numpy over the device-computed
-posteriors (the model forward dominates its runtime)."""
+TPU design: CtcScorer keeps (gamma_n, gamma_b) as T x B arrays. The gamma
+recursions are linear in log space, so instead of a sequential lax.scan over
+frames (T dependent steps of tiny elementwise work — latency-bound on TPU)
+they are solved in closed form with log-cumsum-exp via
+jax.lax.associative_scan: O(log T) depth of large vector ops. The standalone
+prefix beam search (for encoder-only CTC models) runs on host numpy over the
+device-computed posteriors (the model forward dominates its runtime)."""
 
 from collections import defaultdict
 from typing import Dict, List, NamedTuple, Tuple
@@ -30,6 +32,39 @@ class CtcScoreState(NamedTuple):
     gamma_n: jnp.ndarray  # T x B
     gamma_b: jnp.ndarray  # T x B
     score: jnp.ndarray    # B
+
+
+def _blocked_log_linear_rec(w: jnp.ndarray, p: jnp.ndarray,
+                            block: int = 32) -> jnp.ndarray:
+    """Solve the log-linear recurrence x_t = logaddexp(x_{t-1} + p_t, w_t)
+    (x_{-1} = -inf) along axis 0 of w: T x ... .
+
+    TPU shape: a T-step lax.scan is latency-bound (T tiny dependent
+    iterations) and a full associative_scan does O(T log T) transcendental
+    work. Here blocks of `block` frames are solved in closed form
+    (x_t = P_t + logcumsumexp(w_s - P_s), P = within-block cumsum of p)
+    with ONE associative scan of log2(block) levels, and a short lax.scan
+    carries x across the T/block block boundaries."""
+    T = w.shape[0]
+    nb = -(-T // block)
+    pad = nb * block - T
+    wp = jnp.pad(w, ((0, pad),) + ((0, 0),) * (w.ndim - 1),
+                 constant_values=MIN_F32)
+    ppad = jnp.pad(p, ((0, pad),) + ((0, 0),) * (p.ndim - 1))
+    W = wp.reshape((nb, block) + w.shape[1:])
+    P = jnp.cumsum(ppad.reshape((nb, block) + p.shape[1:]), axis=1)
+    # clamp: "impossible" (MIN_F32) entries shifted by P overflow to -inf,
+    # and -inf reaching downstream subtraction would turn into nan
+    S = jax.lax.associative_scan(jnp.logaddexp,
+                                 jnp.maximum(W - P, MIN_F32), axis=1)
+
+    def blk(carry, xs):
+        P_b, S_b = xs
+        x_b = jnp.maximum(P_b + jnp.logaddexp(S_b, carry[None]), MIN_F32)
+        return x_b[-1], x_b
+
+    _, xs = jax.lax.scan(blk, jnp.full(w.shape[1:], MIN_F32), (P, S))
+    return xs.reshape((nb * block,) + w.shape[1:])[:T]
 
 
 class CtcScorer(object):
@@ -60,35 +95,32 @@ class CtcScorer(object):
         Returns (delta_score B x C, new state stacked as B*C for later
         gather via update_var)."""
         B, C = cand.shape
-        # expand to (T, B, C)
-        g_n = jnp.repeat(state.gamma_n[:, :, None], C, axis=2)
-        g_b = jnp.repeat(state.gamma_b[:, :, None], C, axis=2)
         # log p(t, cand): T x B x C
         p_c = self.logp[:, cand]
         p_blank = self.logp[:, self.blank]
         repeat_ok = last_tok[:, None] != cand  # B x C
 
         init_n = jnp.where(is_first, p_c[0], MIN_F32)
-        init_b = jnp.full((B, C), MIN_F32)
-        score0 = init_n
 
-        def step(carry, inputs):
-            n_prev, b_prev, score = carry
-            g_n_t1, g_b_t1, p_c_t, p_blank_t = inputs
-            term = jnp.where(repeat_ok, g_n_t1, MIN_F32)
-            phi = jnp.logaddexp(g_b_t1, term)
-            n_cur = jnp.logaddexp(n_prev, phi) + p_c_t
-            b_cur = jnp.logaddexp(b_prev, n_prev) + p_blank_t
-            score = jnp.logaddexp(score, phi + p_c_t)
-            return (n_cur, b_cur, score), (n_cur, b_cur)
+        # The gamma recursions (t >= 1, from the old prefix's gammas)
+        #   phi_t = logaddexp(gamma_b[t-1], [no-repeat] gamma_n[t-1])
+        #   n_t   = logaddexp(n_{t-1} + p_c[t], phi_t + p_c[t])
+        #   b_t   = logaddexp(b_{t-1} + p_blank[t], n_{t-1} + p_blank[t])
+        # are log-linear in t and solved blockwise (see
+        # _blocked_log_linear_rec) instead of a T-step sequential scan.
+        term = jnp.where(repeat_ok[None], state.gamma_n[:-1, :, None],
+                         MIN_F32)
+        phi = jnp.logaddexp(state.gamma_b[:-1, :, None], term)  # T-1,B,C
 
-        xs = (g_n[:-1], g_b[:-1], p_c[1:],
-              jnp.tile(p_blank[1:, None, None], (1, B, C)))
-        (n_T, b_T, score), (n_all, b_all) = jax.lax.scan(
-            step, (init_n, init_b, score0), xs)
-        # prepend t = 0 row
-        gamma_n_h = jnp.concatenate([init_n[None], n_all], axis=0)
-        gamma_b_h = jnp.concatenate([init_b[None], b_all], axis=0)
+        a = jnp.concatenate([init_n[None], phi + p_c[1:]], axis=0)
+        gamma_n_h = _blocked_log_linear_rec(a, p_c)
+        q = jnp.concatenate([jnp.zeros((1,)), p_blank[1:]], axis=0)
+        w_b = jnp.concatenate([
+            jnp.full((1, B, C), MIN_F32),
+            gamma_n_h[:-1] + p_blank[1:, None, None]
+        ], axis=0)
+        gamma_b_h = _blocked_log_linear_rec(w_b, q[:, None, None])
+        score = jnp.maximum(jax.nn.logsumexp(a, axis=0), MIN_F32)
         # eos candidates: score = full-prefix probability
         full_prefix = jnp.logaddexp(state.gamma_b[-1], state.gamma_n[-1])
         score = jnp.where(cand == self.eos, full_prefix[:, None], score)

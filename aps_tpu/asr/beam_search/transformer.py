@@ -86,11 +86,12 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
             return nnet.apply(variables, enc_tiled, tokens_buf[:, t],
                               cache, t, enc_len=enc_len_tiled,
                               method="decode_step_inc")
+        # out_idx=t: slice position t BEFORE the vocab projection, so the
+        # (D x V) output matmul runs on one position, not the whole buffer
         dec_out = nnet.apply(variables, enc_tiled, tokens_buf,
-                             enc_len=enc_len_tiled, method="decode_step")
-        return jnp.take_along_axis(
-            dec_out, jnp.full((K, 1, 1), t, dtype=jnp.int32),
-            axis=1)[:, 0], cache
+                             enc_len=enc_len_tiled, out_idx=t,
+                             method="decode_step")
+        return dec_out, cache
 
     # espnet-style end detection: once a finished hypothesis exists
     # and no better one has finished for END_PATIENCE steps, stop early
