@@ -120,18 +120,24 @@ class XfmrASR(ASREncoderDecoderBase):
         """Incremental-decoding cache (see TorchTransformerDecoder)."""
         return self.decoder.init_cache(batch, max_len)
 
-    def decode_step_inc(self, enc_out, tok, cache, t, enc_len=None):
+    def decode_prep_kv(self, enc_out):
+        """Per-layer cross-attention K/V of the encoder memory — computed
+        once per utterance, reused by every decode step."""
+        return self.decoder.prep_memory_kv(enc_out)
+
+    def decode_step_inc(self, enc_out, tok, cache, t, enc_len=None,
+                        mem_kv=None):
         """One incremental decoder step at position t."""
         return self.decoder.step_inc(enc_out, tok, cache, t,
-                                     enc_len=enc_len)
+                                     enc_len=enc_len, mem_kv=mem_kv)
 
     def decode_step(self, enc_out, prefix, prefix_len=None, enc_len=None,
-                    out_idx=None):
+                    out_idx=None, mem_kv=None):
         """Score the whole prefix (N x U); out_idx selects ONE position's
         hidden state BEFORE the vocab projection (the search only needs
         position t — projecting all U positions to V every step costs
         U x the largest matmul in the loop)."""
         dec_out, _ = self.decoder.step(enc_out, prefix, enc_len=enc_len,
                                        tgt_len=prefix_len, out_idx=out_idx,
-                                       training=False)
+                                       mem_kv=mem_kv, training=False)
         return dec_out

@@ -43,28 +43,38 @@ def _blocked_log_linear_rec(w: jnp.ndarray, p: jnp.ndarray,
     iterations) and a full associative_scan does O(T log T) transcendental
     work. Here blocks of `block` frames are solved in closed form
     (x_t = P_t + logcumsumexp(w_s - P_s), P = within-block cumsum of p)
-    with ONE associative scan of log2(block) levels, and a short lax.scan
-    carries x across the T/block block boundaries."""
+    with an unrolled log2(block)-level shift scan, and a short lax.scan
+    carries x across the T/block block boundaries. Trailing dims are
+    flattened so the minor axis fills the 128-lane tiles (a (.., 8, 12)
+    layout would pad 12 -> 128 on every level)."""
     T = w.shape[0]
+    tail = w.shape[1:]
+    w2 = w.reshape(T, -1)
+    p2 = jnp.broadcast_to(p, w.shape).reshape(T, -1)
+    R = w2.shape[1]
     nb = -(-T // block)
     pad = nb * block - T
-    wp = jnp.pad(w, ((0, pad),) + ((0, 0),) * (w.ndim - 1),
-                 constant_values=MIN_F32)
-    ppad = jnp.pad(p, ((0, pad),) + ((0, 0),) * (p.ndim - 1))
-    W = wp.reshape((nb, block) + w.shape[1:])
-    P = jnp.cumsum(ppad.reshape((nb, block) + p.shape[1:]), axis=1)
+    wp = jnp.pad(w2, ((0, pad), (0, 0)), constant_values=MIN_F32)
+    ppad = jnp.pad(p2, ((0, pad), (0, 0)))
+    W = wp.reshape(nb, block, R)
+    P = jnp.cumsum(ppad.reshape(nb, block, R), axis=1)
     # clamp: "impossible" (MIN_F32) entries shifted by P overflow to -inf,
     # and -inf reaching downstream subtraction would turn into nan
-    S = jax.lax.associative_scan(jnp.logaddexp,
-                                 jnp.maximum(W - P, MIN_F32), axis=1)
+    S = jnp.maximum(W - P, MIN_F32)
+    shift = 1
+    while shift < block:  # Hillis-Steele inclusive logcumsumexp
+        moved = jnp.concatenate(
+            [jnp.full_like(S[:, :shift], MIN_F32), S[:, :-shift]], axis=1)
+        S = jnp.logaddexp(S, moved)
+        shift *= 2
 
     def blk(carry, xs):
         P_b, S_b = xs
         x_b = jnp.maximum(P_b + jnp.logaddexp(S_b, carry[None]), MIN_F32)
         return x_b[-1], x_b
 
-    _, xs = jax.lax.scan(blk, jnp.full(w.shape[1:], MIN_F32), (P, S))
-    return xs.reshape((nb * block,) + w.shape[1:])[:T]
+    _, xs = jax.lax.scan(blk, jnp.full((R,), MIN_F32), (P, S))
+    return xs.reshape(nb * block, R)[:T].reshape((T,) + tail)
 
 
 class CtcScorer(object):

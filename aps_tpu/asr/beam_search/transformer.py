@@ -79,18 +79,22 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
     use_inc = hasattr(nnet, "decode_step_inc") and max_len >= 128
     cache0 = nnet.apply(variables, K, max_len,
                         method="decode_init_cache") if use_inc else ()
+    # cross-attention K/V of the (loop-invariant) encoder memory, computed
+    # once — XLA does not hoist big matmuls out of while-loops itself
+    mem_kv = nnet.apply(variables, enc_tiled, method="decode_prep_kv") \
+        if hasattr(nnet, "decode_prep_kv") else None
 
     def dec_logits(tokens_buf, t, cache):
         """Logits for position t: K x V (+ updated cache)."""
         if use_inc:
             return nnet.apply(variables, enc_tiled, tokens_buf[:, t],
                               cache, t, enc_len=enc_len_tiled,
-                              method="decode_step_inc")
+                              mem_kv=mem_kv, method="decode_step_inc")
         # out_idx=t: slice position t BEFORE the vocab projection, so the
         # (D x V) output matmul runs on one position, not the whole buffer
         dec_out = nnet.apply(variables, enc_tiled, tokens_buf,
                              enc_len=enc_len_tiled, out_idx=t,
-                             method="decode_step")
+                             mem_kv=mem_kv, method="decode_step")
         return dec_out, cache
 
     # espnet-style end detection: once a finished hypothesis exists

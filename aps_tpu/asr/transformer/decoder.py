@@ -44,7 +44,7 @@ class TransformerDecoderLayer(nn.Module):
         self.drop = nn.Dropout(self.ffn_dropout, rng_collection="dropout")
 
     def _cross_ffn(self, tgt, memory, memory_mask,
-                   memory_key_padding_mask, training):
+                   memory_key_padding_mask, training, memory_kv=None):
         drop = lambda x: self.drop(x, deterministic=not training)
         skip = tgt
         if self.pre_norm:
@@ -52,7 +52,7 @@ class TransformerDecoderLayer(nn.Module):
         att, _ = self.cross_attn(tgt, memory, memory,
                                  attn_mask=memory_mask,
                                  key_padding_mask=memory_key_padding_mask,
-                                 training=training)
+                                 training=training, kv_cache=memory_kv)
         tgt = skip + drop(att)
         if not self.pre_norm:
             tgt = self.norm2(tgt)
@@ -67,7 +67,7 @@ class TransformerDecoderLayer(nn.Module):
 
     def __call__(self, tgt, memory, tgt_mask=None, memory_mask=None,
                  tgt_key_padding_mask=None, memory_key_padding_mask=None,
-                 training: bool = False):
+                 training: bool = False, memory_kv=None):
         drop = lambda x: self.drop(x, deterministic=not training)
         skip = tgt
         if self.pre_norm:
@@ -79,9 +79,11 @@ class TransformerDecoderLayer(nn.Module):
         if not self.pre_norm:
             tgt = self.norm1(tgt)
         return self._cross_ffn(tgt, memory, memory_mask,
-                               memory_key_padding_mask, training)
+                               memory_key_padding_mask, training,
+                               memory_kv=memory_kv)
 
-    def step_token(self, tok, hist, t, memory, memory_key_padding_mask):
+    def step_token(self, tok, hist, t, memory, memory_key_padding_mask,
+                   memory_kv=None):
         """Incremental decode: process ONE token (N x 1 x D) against the
         layer-input history buffer hist (N x Lmax x D, positions [0, t]
         valid). Equivalent to __call__ on the prefix reading row t, but
@@ -101,7 +103,8 @@ class TransformerDecoderLayer(nn.Module):
         if not self.pre_norm:
             tgt = self.norm1(tgt)
         return self._cross_ffn(tgt, memory, None,
-                               memory_key_padding_mask, False)
+                               memory_key_padding_mask, False,
+                               memory_kv=memory_kv)
 
 
 class TorchTransformerDecoder(nn.Module):
@@ -133,6 +136,7 @@ class TorchTransformerDecoder(nn.Module):
              tgt_len=None,
              pre_emb: Optional[jnp.ndarray] = None,
              out_idx: Optional[int] = None,
+             mem_kv=None,
              training: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """enc_out: N x Ti x D, tgt_pad: N x To ->
         (dec_out N x To(+T') x V or N x V, tgt_emb N x To+T' x D)."""
@@ -147,23 +151,33 @@ class TorchTransformerDecoder(nn.Module):
             tgt_emb = jnp.concatenate([pre_emb, tgt_emb], axis=1)
         tgt_mask = prep_sub_mask(tgt_emb.shape[1])
         out = tgt_emb
-        for layer in self.layers:
+        for i, layer in enumerate(self.layers):
             out = layer(out, enc_out, tgt_mask=tgt_mask,
                         tgt_key_padding_mask=tgt_pad_mask,
                         memory_key_padding_mask=mem_pad_mask,
-                        training=training)
+                        training=training,
+                        memory_kv=None if mem_kv is None else mem_kv[i])
         if self.final_norm is not None:
             out = self.final_norm(out)
         if out_idx is not None:
             out = out[:, out_idx]
         return self.output(out), tgt_emb
 
+    def prep_memory_kv(self, memory: jnp.ndarray):
+        """Per-layer cross-attention (K, V) for a fixed memory; compute
+        once per utterance and pass to step/step_inc via mem_kv — inside
+        a decode loop this hoists 2 x num_layers big matmuls per step."""
+        return [
+            layer.cross_attn.proj_kv(memory, memory)
+            for layer in self.layers
+        ]
+
     def init_cache(self, batch: int, max_len: int) -> jnp.ndarray:
         """Per-layer input-history buffers for incremental decoding:
         num_layers x N x Lmax x D."""
         return jnp.zeros((self.num_layers, batch, max_len, self.att_dim))
 
-    def step_inc(self, enc_out, tok, cache, t, enc_len=None):
+    def step_inc(self, enc_out, tok, cache, t, enc_len=None, mem_kv=None):
         """Incremental decode step: tok (N,) int token at position t,
         cache from init_cache -> (logits N x V, new cache). Equivalent to
         step(prefix)[.., t] but O(L) per step instead of O(L^2)."""
@@ -175,7 +189,9 @@ class TorchTransformerDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             hist = cache[i].at[:, t].set(x[:, 0])
             hists.append(hist)
-            x = layer.step_token(x, hist, t, enc_out, mem_pad_mask)
+            x = layer.step_token(
+                x, hist, t, enc_out, mem_pad_mask,
+                memory_kv=None if mem_kv is None else mem_kv[i])
         out = self.final_norm(x) if self.final_norm is not None else x
         return self.output(out[:, 0]), jnp.stack(hists)
 

@@ -58,6 +58,10 @@ class ApsMultiheadAttention(nn.Module):
     def _setup_extra(self):
         pass
 
+    def _split_heads(self, m):
+        return m.reshape(m.shape[0], m.shape[1], self.num_heads,
+                         self.head_dim)
+
     def inp_proj(self, query, key, value):
         """-> q/k/v: N x T x H x D"""
         E = self.embed_dim
@@ -65,13 +69,21 @@ class ApsMultiheadAttention(nn.Module):
             q, k, v = jnp.split(self.in_proj(query), 3, axis=-1)
         else:
             # apply the shared projection on each input
-            stack_q = self.in_proj(query)[..., :E]
-            stack_k = self.in_proj(key)[..., E:2 * E]
-            stack_v = self.in_proj(value)[..., 2 * E:]
-            q, k, v = stack_q, stack_k, stack_v
-        split = lambda m: m.reshape(m.shape[0], m.shape[1], self.num_heads,
-                                    self.head_dim)
-        return split(q), split(k), split(v)
+            q = self.in_proj(query)[..., :E]
+            k = self.in_proj(key)[..., E:2 * E]
+            v = self.in_proj(value)[..., 2 * E:]
+        return self._split_heads(q), self._split_heads(k), \
+            self._split_heads(v)
+
+    def proj_kv(self, key, value):
+        """Project K/V only (N x S x H x D). Decoders call this ONCE on a
+        fixed cross-attention memory and pass the result back through
+        `kv_cache` each step — XLA does not hoist big loop-invariant
+        matmuls out of while-loops on its own."""
+        E = self.embed_dim
+        k = self.in_proj(key)[..., E:2 * E]
+        v = self.in_proj(value)[..., 2 * E:]
+        return self._split_heads(k), self._split_heads(v)
 
     def dot_att(self, query, key, inj_pose=None):
         """q: N x L x H x D, k: N x S x H x D -> logit N x H x L x S"""
@@ -97,16 +109,29 @@ class ApsMultiheadAttention(nn.Module):
         # mean over heads: N x L x S
         return context, jnp.mean(weight, axis=1)
 
-    def _flash_eligible(self, inj_pose, attn_mask, training) -> bool:
+    def _flash_eligible(self, q_len: int, inj_pose, attn_mask,
+                        training) -> bool:
+        # short queries (decoder cross-attention during beam search: L is
+        # the hypothesis buffer, ~40) lose with the blocked kernel: q pads
+        # up to the 128-lane block and, worse, the custom call blocks XLA
+        # from hoisting the loop-invariant memory K/V projection out of
+        # the decode while-loop. Dense einsums fuse and hoist.
         return (self.use_flash and type(self) is ApsMultiheadAttention
+                and q_len >= 128
                 and inj_pose is None and attn_mask is None
                 and (self.dropout == 0 or not training))
 
     def __call__(self, query, key, value, inj_pose=None,
                  key_padding_mask=None, attn_mask=None,
-                 training: bool = False):
-        q, k, v = self.inp_proj(query, key, value)
-        if self._flash_eligible(inj_pose, attn_mask, training):
+                 training: bool = False, kv_cache=None):
+        if kv_cache is not None:
+            q = self._split_heads(
+                self.in_proj(query)[..., :self.embed_dim])
+            k, v = kv_cache
+        else:
+            q, k, v = self.inp_proj(query, key, value)
+        if self._flash_eligible(query.shape[-2], inj_pose, attn_mask,
+                                training):
             k_len = None
             if key_padding_mask is not None:
                 # suffix padding mask (True = pad) -> valid lengths
