@@ -111,13 +111,16 @@ class ApsMultiheadAttention(nn.Module):
 
     def _flash_eligible(self, q_len: int, inj_pose, attn_mask,
                         training) -> bool:
-        # short queries (decoder cross-attention during beam search: L is
-        # the hypothesis buffer, ~40) lose with the blocked kernel: q pads
-        # up to the 128-lane block and, worse, the custom call blocks XLA
-        # from hoisting the loop-invariant memory K/V projection out of
-        # the decode while-loop. Dense einsums fuse and hoist.
+        # short queries lose with the blocked kernel: q pads up to the
+        # kernel block, the custom call blocks XLA fusion/hoisting (the
+        # decoder cross-attention inside the decode while-loop re-padded
+        # its loop-invariant memory every step), and the dense score
+        # matrix it avoids is small anyway. Measured on v5e the crossover
+        # is between T=200 (dense wins the full train step by ~10%) and
+        # T=768 (flash wins, BENCHMARKS.md); 512 also bounds the T x T
+        # activation the dense path materializes.
         return (self.use_flash and type(self) is ApsMultiheadAttention
-                and q_len >= 128
+                and q_len >= 512
                 and inj_pose is None and attn_mask is None
                 and (self.dropout == 0 or not training))
 
