@@ -55,10 +55,11 @@ RNG_COLLECTIONS = ("aug", "dropout", "ss")
 @ApsRegisters.trainer.register("dp")
 class DataParallelTrainer(Trainer):
 
-    def __init__(self, task, tensor_parallel: int = 1, **kwargs):
+    def __init__(self, task, tensor_parallel: int = 1, devices=None,
+                 **kwargs):
         super(DataParallelTrainer, self).__init__(task, **kwargs)
         self.tensor_parallel = tensor_parallel
-        self.mesh = build_mesh(model=tensor_parallel)
+        self.mesh = build_mesh(devices=devices, model=tensor_parallel)
         self.ndev = self.mesh.devices.size
         self.params = None
         self.opt_state = None

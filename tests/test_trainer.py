@@ -312,6 +312,25 @@ def test_trainer_uneven_batch_trims_and_shards(tmp_path):
     trainer.run(trn, dev, num_epochs=1)
 
 
+def test_trainer_dp_matches_single_device(tmp_path):
+    """SPMD correctness: the same data/seed trained on the 8-device mesh
+    and on a 1-device mesh must produce the same per-step losses (the
+    sharded mean + psum must equal the single-device mean)."""
+    import jax
+    losses = {}
+    for tag, devs in (("dp8", None), ("single", jax.devices()[:1])):
+        task = build_task()
+        trainer = make_trainer(tmp_path / tag, task, devices=devs)
+        loader = SyntheticSSELoader(num_batches=3, batch=8)
+        trainer.init_state(trainer.prep_egs(next(iter(loader))))
+        out = []
+        for egs in loader:
+            trainer.train_one_step(trainer.prep_egs(egs))
+            out.append(float(trainer.reporter.stats["loss"][-1]))
+        losses[tag] = out
+    np.testing.assert_allclose(losses["dp8"], losses["single"], rtol=2e-4)
+
+
 def test_trainer_tensor_parallel_resume(tmp_path):
     """Resume under TP: restored optimizer moments must come back with the
     parameter shardings, not default placement (VERDICT r1 weak #4)."""
