@@ -23,7 +23,8 @@ from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
                                            ExecutableCache, jit_apply,
                                            apply_eos_threshold, disable_unk,
                                            extract_nbest, init_beam_state,
-                                           mask_finished_scores)
+                                           mask_finished_scores,
+                                           stack_padded)
 from aps_tpu.const import MIN_F32
 
 
@@ -208,16 +209,13 @@ def beam_search_batch(nnet, variables, batch: List,
     per-utterance search. Callers should length-bucket utterances so only
     a few (batch, S) shapes ever compile."""
     param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
-    lens = [int(np.asarray(x).shape[-1]) for x in batch]
     # pad_to lets callers pin the padded length to a bucket size so the
     # compiled executable is reused across batches
-    S = max(max(lens), pad_to)
-    x_pad = np.stack(
-        [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
+    x_pad, lens, S = stack_padded(batch, pad_to=pad_to)
     x_len = jnp.asarray(lens)
     with jax.default_matmul_precision(matmul_precision):
         enc_out, enc_len, ctc_out = jit_apply(
-            nnet, variables, jnp.asarray(x_pad), x_len,
+            nnet, variables, x_pad, x_len,
             method="decode_enc")
     T = enc_out.shape[1]
     ml = max_len if max_len > 0 else param.max_len

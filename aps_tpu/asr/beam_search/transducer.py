@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from aps_tpu.asr.beam_search.lm import LmAdapter, RnnLmAdapter
-from aps_tpu.asr.beam_search.utils import ExecutableCache, jit_apply
+from aps_tpu.asr.beam_search.utils import (ExecutableCache, jit_apply,
+                                           stack_padded)
 from aps_tpu.const import MIN_F32
 
 
@@ -210,13 +211,10 @@ def beam_search_batch(nnet, variables, batch: List,
                       **kwargs) -> List[List[Dict]]:
     """Batched frame-synchronous search: one compiled program per
     (batch, length-bucket); padded frames frozen via enc_len."""
-    lens = [int(np.asarray(x).shape[-1]) for x in batch]
-    S = max(max(lens), pad_to)
-    x_pad = np.stack(
-        [np.pad(np.asarray(x), (0, S - l)) for x, l in zip(batch, lens)])
+    x_pad, lens, S = stack_padded(batch, pad_to=pad_to)
     x_len = jnp.asarray(lens)
     with jax.default_matmul_precision(matmul_precision):
-        enc_out, enc_len = jit_apply(nnet, variables, jnp.asarray(x_pad),
+        enc_out, enc_len = jit_apply(nnet, variables, x_pad,
                                      x_len, method="decode_enc")
     key = (id(nnet), id(lm), lm_weight, beam_size,
            enc_out.shape[1:], S, matmul_precision)

@@ -175,3 +175,25 @@ def jit_apply(nnet, variables, *args, method: str):
     fn = _APPLY_EXECUTABLES.get(
         key, lambda: jax.jit(lambda v, *a: nnet.apply(v, *a, method=method)))
     return fn(variables, *args)
+
+
+def stack_padded(batch: List, pad_to: int = -1):
+    """Stack 1-D utterances zero-padded to a common length S.
+    -> (x_pad N x S, lens list, S). Device-resident inputs are padded ON
+    the device: on remote-device runtimes the np.asarray download +
+    re-upload of a whole batch costs more than a search step."""
+    import jax
+
+    lens = [int(x.shape[-1]) for x in batch]
+    S = max(max(lens), pad_to)
+    if all(isinstance(x, jax.Array) and x.ndim == 1 for x in batch):
+        x_pad = jnp.stack(
+            [x if l == S else jnp.pad(x, (0, S - l))
+             for x, l in zip(batch, lens)])
+    else:
+        x_pad = jnp.asarray(
+            np.stack([
+                np.pad(np.asarray(x), (0, S - l))
+                for x, l in zip(batch, lens)
+            ]))
+    return x_pad, lens, S
