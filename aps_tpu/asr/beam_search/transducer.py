@@ -208,11 +208,18 @@ def beam_search_batch(nnet, variables, batch: List,
                       beam_size: int = 8, nbest: int = 8,
                       len_norm: bool = True, pad_to: int = -1,
                       matmul_precision: str = "default",
+                      mesh=None,
                       **kwargs) -> List[List[Dict]]:
     """Batched frame-synchronous search: one compiled program per
     (batch, length-bucket); padded frames frozen via enc_len."""
     x_pad, lens, S = stack_padded(batch, pad_to=pad_to)
     x_len = jnp.asarray(lens)
+    if mesh is not None and x_pad.shape[0] % mesh.shape["data"] == 0:
+        # uneven tail batches fall back to single-device execution
+        from jax.sharding import NamedSharding, PartitionSpec
+        dp = NamedSharding(mesh, PartitionSpec("data"))
+        x_pad = jax.device_put(x_pad, dp)
+        x_len = jax.device_put(x_len, dp)
     with jax.default_matmul_precision(matmul_precision):
         enc_out, enc_len = jit_apply(nnet, variables, x_pad,
                                      x_len, method="decode_enc")

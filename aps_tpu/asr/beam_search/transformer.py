@@ -193,13 +193,25 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
                       beam_size: int = 8, nbest: int = 1, max_len: int = -1,
                       pad_to: int = -1,
                       matmul_precision: str = "default",
+                      mesh=None,
                       **kwargs):
     """Batched transformer-decoder beam search: one compiled program per
     (batch, length-bucket) shape; the per-utterance search loops are
-    vmapped (see att.beam_search_batch for the scheme)."""
+    vmapped (see att.beam_search_batch for the scheme).
+
+    mesh: optional jax.sharding.Mesh with a "data" axis — the batch is
+    sharded over it and GSPMD runs one independent search per shard on
+    each device (multi-chip data-parallel decoding; batch size must
+    divide the data axis)."""
     param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
     x_pad, lens, S = stack_padded(batch, pad_to=pad_to)
     x_len = jnp.asarray(lens)
+    if mesh is not None and x_pad.shape[0] % mesh.shape["data"] == 0:
+        # uneven tail batches fall back to single-device execution
+        from jax.sharding import NamedSharding, PartitionSpec
+        shard = NamedSharding(mesh, PartitionSpec("data"))
+        x_pad = jax.device_put(x_pad, shard)
+        x_len = jax.device_put(x_len, shard)
     with jax.default_matmul_precision(matmul_precision):
         enc_out, enc_len, ctc_out = jit_apply(
             nnet, variables, x_pad, x_len,

@@ -96,13 +96,14 @@ class FasterDecoder(NnetEvaluator):
             if "transducer" in self.conf["nnet"]:
                 keep = {k: kwargs[k] for k in
                         ("beam_size", "nbest", "len_norm", "pad_to",
-                         "lm_weight") if k in kwargs}
+                         "lm_weight", "mesh") if k in kwargs}
                 return self.api.beam_search_batch(self.nnet, self.variables,
                                                   batch, lm=lm, **keep)
             return self.api.beam_search_batch(self.nnet, self.variables,
                                               batch, lm=lm, sos=self.sos,
                                               eos=self.eos, **kwargs)
         kwargs.pop("pad_to", None)
+        kwargs.pop("mesh", None)
         return [self.run(src, lm=lm, **kwargs) for src in batch]
 
 

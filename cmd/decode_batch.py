@@ -48,6 +48,17 @@ def run(args):
         from aps_tpu.conf import load_dict
         from aps_tpu.const import UNK_TOKEN
         kwargs["unk"] = load_dict(args.dict)[UNK_TOKEN]
+    if args.data_parallel:
+        import jax
+
+        from aps_tpu.parallel import build_mesh
+        if args.batch_size % jax.device_count():
+            raise RuntimeError(
+                f"--batch-size {args.batch_size} must divide the "
+                f"{jax.device_count()}-device mesh for --data-parallel")
+        kwargs["mesh"] = build_mesh()
+        logger.info(f"Data-parallel decoding over {jax.device_count()} "
+                    f"devices")
     stdout_top, top = io_wrapper(args.best, "w")
     timer = SimpleTimer()
     tot_utts, tot_dur = 0, 0
@@ -91,4 +102,8 @@ if __name__ == "__main__":
     parser.add_argument("--space", type=str, default="")
     parser.add_argument("--show-unk", type=str, default="<unk>")
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard each decode batch over ALL local "
+                        "devices (multi-chip data-parallel inference); "
+                        "batch-size must divide the device count")
     run(parser.parse_args())

@@ -381,6 +381,17 @@ def test_decode_batch_cli(am_workspace, tmp_path):
              "--dict", str(cpt / "dict")])
     lines = open(out).read().strip().split("\n")
     assert len(lines) == 10
+    # data-parallel: batches sharded over the 8-CPU mesh, same output
+    out_dp = tmp_path / "hyp_dp.text"
+    run_cmd(["cmd/decode_batch.py", str(root / "cv_wav.scp"), str(out_dp),
+             "--am", str(cpt), "--beam-size", "2", "--nbest", "1",
+             "--max-len", "8", "--batch-size", "8", "--data-parallel",
+             "--dict", str(cpt / "dict")])
+    hyp = dict(ln.split("\t") for ln in lines if "\t" in ln)
+    for ln in open(out_dp).read().strip().split("\n"):
+        if "\t" in ln:
+            key, txt = ln.split("\t")
+            assert hyp[key] == txt, f"{key}: dp '{txt}' != '{hyp[key]}'"
 
 
 def test_decode_with_lm_fusion(am_workspace, tmp_path):
