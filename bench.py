@@ -183,6 +183,13 @@ def bench_separate(on_tpu: bool):
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
     variables = nnet.init(rngs, mix, training=False)
+    # the deployment path (separate.py --dtype bfloat16): bf16 params AND
+    # activations — the TCN is HBM-bandwidth-bound, so halving the
+    # activation bytes nearly doubles throughput (BENCHMARKS.md)
+    variables = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, variables)
+    mix = mix.astype(jnp.bfloat16)
 
     @jax.jit
     def forward(mix):
