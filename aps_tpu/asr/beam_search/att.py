@@ -24,7 +24,7 @@ from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
                                            apply_eos_threshold, disable_unk,
                                            extract_nbest, init_beam_state,
                                            mask_finished_scores,
-                                           stack_padded)
+                                           stack_padded, topk_candidates)
 from aps_tpu.const import MIN_F32
 
 
@@ -129,7 +129,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
 
         if use_ctc:
             C = min(param.ctc_beam_size, V)
-            att_score, cand = jax.lax.top_k(am_prob, C)
+            att_score, cand = topk_candidates(am_prob, C,
+                                              param.approx_topk)
             # force candidate slot 0 of finished beams to be eos
             cand = jnp.where(state.done[:, None],
                              jnp.full_like(cand, param.eos), cand)

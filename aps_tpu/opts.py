@@ -113,6 +113,11 @@ class DecodingParser(object):
     parser.add_argument("--disable-unk", action=StrToBoolAction,
                         default=False, nargs="?", const=True,
                         help="Never emit the <unk> symbol (needs --dict)")
+    parser.add_argument("--approx-topk", action=StrToBoolAction,
+                        default=False, nargs="?", const=True,
+                        help="Approximate (recall-0.99) candidate top-k "
+                        "in joint CTC/attention scoring — avoids a full "
+                        "vocab sort per step on TPU")
     parser.add_argument("--spm", type=str, default="",
                         help="sentencepiece model for subword detok")
     parser.add_argument("--text-norm", type=str, default="")

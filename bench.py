@@ -66,9 +66,11 @@ def bench_decode(on_tpu: bool):
     B = 64 if on_tpu else 2
     utts = [jnp.asarray(rng.standard_normal(S) * 0.1, dtype=jnp.float32)
             for _ in range(B)]
+    # approx_topk: the shipped --approx-topk decoding option (recall-0.99
+    # candidate pruning instead of a full vocab sort per step)
     kwargs = dict(sos=V - 3, eos=V - 2, beam_size=8, nbest=1,
                   max_len=40 if on_tpu else 8, ctc_weight=0.4,
-                  ctc_beam_size=12)
+                  ctc_beam_size=12, approx_topk=on_tpu)
     # compile
     api.beam_search_batch(nnet, variables, utts, **kwargs)
     iters = 5 if on_tpu else 2

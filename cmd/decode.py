@@ -27,7 +27,8 @@ logger = get_logger(__name__)
 beam_search_params = [
     "beam_size", "nbest", "max_len", "min_len", "len_norm", "lm_weight",
     "ctc_weight", "temperature", "len_penalty", "cov_penalty",
-    "eos_threshold", "cov_threshold", "allow_partial", "end_detect"
+    "eos_threshold", "cov_threshold", "allow_partial", "end_detect",
+    "approx_topk"
 ]
 
 

@@ -68,6 +68,21 @@ def test_beam_with_ctc_weight(att_model):
     assert np.isfinite(hyp[0]["score"])
 
 
+def test_beam_approx_topk_matches_exact(att_model):
+    """--approx-topk candidate pruning: on CPU approx_max_k is exact, so
+    the search must match; the flag must at minimum produce a valid,
+    finite-scored nbest list everywhere."""
+    from aps_tpu.asr.beam_search.att import beam_search
+    nnet, variables, x = att_model
+    kw = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=16,
+              ctc_weight=0.4, ctc_beam_size=8)
+    exact = beam_search(nnet, variables, x, **kw)
+    approx = beam_search(nnet, variables, x, approx_topk=True, **kw)
+    assert [h["trans"] for h in approx] == [h["trans"] for h in exact]
+    np.testing.assert_allclose([h["score"] for h in approx],
+                               [h["score"] for h in exact], rtol=1e-5)
+
+
 def test_beam_with_rnn_lm(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     from aps_tpu.asr.beam_search.lm import lm_adapter
