@@ -129,8 +129,10 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
 
         if use_ctc:
             C = min(param.ctc_beam_size, V)
-            att_score, cand = topk_candidates(am_prob, C,
-                                              param.approx_topk)
+            # mask <unk> BEFORE pruning so --disable-unk also holds
+            # under joint CTC/attention scoring
+            att_score, cand = topk_candidates(
+                disable_unk(am_prob, param.unk), C, param.approx_topk)
             # force candidate slot 0 of finished beams to be eos
             cand = jnp.where(state.done[:, None],
                              jnp.full_like(cand, param.eos), cand)

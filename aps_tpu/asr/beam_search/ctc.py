@@ -7,12 +7,13 @@ beam_search/viterbi_align, CtcScorer:200 — the eq. 51-53 gamma recursions
 from "Hybrid CTC/Attention Architecture for End-to-End Speech Recognition").
 
 TPU design: CtcScorer keeps (gamma_n, gamma_b) as T x B arrays. The gamma
-recursions are linear in log space, so instead of a sequential lax.scan over
-frames (T dependent steps of tiny elementwise work — latency-bound on TPU)
-they are solved in closed form with log-cumsum-exp via
-jax.lax.associative_scan: O(log T) depth of large vector ops. The standalone
-prefix beam search (for encoder-only CTC models) runs on host numpy over the
-device-computed posteriors (the model forward dominates its runtime)."""
+recursions are linear in log space and solved blockwise
+(_blocked_log_linear_rec): an unrolled Hillis-Steele logcumsumexp inside
+32-frame blocks plus a short lax.scan over block boundaries — faster than
+both a T-step sequential scan (latency-bound) and a full associative_scan
+(pad/transcendental-heavy). The standalone prefix beam search (for
+encoder-only CTC models) runs on host numpy over the device-computed
+posteriors (the model forward dominates its runtime)."""
 
 from collections import defaultdict
 from typing import Dict, List, NamedTuple, Tuple

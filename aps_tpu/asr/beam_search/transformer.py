@@ -81,9 +81,14 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
     cache0 = nnet.apply(variables, K, max_len,
                         method="decode_init_cache") if use_inc else ()
     # cross-attention K/V of the (loop-invariant) encoder memory, computed
-    # once — XLA does not hoist big matmuls out of while-loops itself
-    mem_kv = nnet.apply(variables, enc_tiled, method="decode_prep_kv") \
-        if hasattr(nnet, "decode_prep_kv") else None
+    # once — XLA does not hoist big matmuls out of while-loops itself.
+    # Project the single utterance and broadcast over the beam: the K
+    # beams share identical memory rows
+    mem_kv = None
+    if hasattr(nnet, "decode_prep_kv"):
+        kv1 = nnet.apply(variables, enc_out[None], method="decode_prep_kv")
+        mem_kv = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (K,) + x.shape[1:]), kv1)
 
     def dec_logits(tokens_buf, t, cache):
         """Logits for position t: K x V (+ updated cache)."""
@@ -123,8 +128,10 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
             lm_prob, lm_state = lm.step(lm_state, tok_prev, t)
         if use_ctc:
             C = min(param.ctc_beam_size, V)
-            att_score, cand = topk_candidates(am_prob, C,
-                                              param.approx_topk)
+            # mask <unk> BEFORE pruning so --disable-unk also holds
+            # under joint CTC/attention scoring
+            att_score, cand = topk_candidates(
+                disable_unk(am_prob, param.unk), C, param.approx_topk)
             cand = jnp.where(state.done[:, None],
                              jnp.full_like(cand, param.eos), cand)
             delta, ctc_state_x = scorer(ctc_state, tok_prev, cand, t == 0)

@@ -197,6 +197,7 @@ def stack_padded(batch: List, pad_to: int = -1):
     re-upload of a whole batch costs more than a search step."""
     import jax
 
+    batch = [x if hasattr(x, "shape") else np.asarray(x) for x in batch]
     lens = [int(x.shape[-1]) for x in batch]
     S = max(max(lens), pad_to)
     if all(isinstance(x, jax.Array) and x.ndim == 1 for x in batch):

@@ -236,11 +236,13 @@ def start_trainer(trainer: str,
                                 **loader_conf,
                                 **data_conf["train"])
     # validation may need a smaller batch (e.g. longer max_dur utterances):
-    # batch_size / dev_batch_factor, as in the reference's aps/opts.py:302
+    # batch_size / dev_batch_factor, as in the reference's aps/opts.py:302.
+    # Derive from the effective loader batch size so a YAML-level
+    # max_batch_size override is respected
     dev_factor = max(float(getattr(args, "dev_batch_factor", 1)), 1.0)
     dev_loader_conf = dict(loader_conf)
     dev_loader_conf["max_batch_size"] = max(
-        int(args.batch_size / dev_factor), 1)
+        int(loader_conf["max_batch_size"] / dev_factor), 1)
     dev_loader = aps_dataloader(train=False,
                                 **dev_loader_conf,
                                 **data_conf["valid"])

@@ -8,10 +8,8 @@ packing into N ark shards."""
 import argparse
 import multiprocessing as mp
 import os
-import subprocess
 
-from aps_tpu.io import group_segments, read_audio, write_audio
-from aps_tpu.io.base import BaseReader
+from aps_tpu.io import AudioReader, group_segments, write_audio
 from aps_tpu.utils import get_logger
 
 logger = get_logger(__name__)
@@ -26,29 +24,28 @@ def _pack(jobid: int, num_shards: int, args) -> str:
         scp_path = f"{os.path.splitext(args.out_scp)[0]}.{jobid}.scp"
     else:
         ark_path, scp_path = args.out_ark, args.out_scp
-    reader = BaseReader(args.wav_scp, num_tokens=2)
-    segments = group_segments(args.segment, args.sr) if args.segment else None
-    done = 0
+    # AudioReader handles plain files, "cmd ... |" pipes and ark:offset
+    # entries alike
+    reader = AudioReader(args.wav_scp, sr=args.sr)
+    sr = args.sr if args.sr > 0 else 16000
+    segments = group_segments(args.segment, sr) if args.segment else None
+    done, failed = 0, 0
     with open(ark_path, "wb") as ark, open(scp_path, "w") as scp:
 
         def emit(key, samps):
             offset = ark.tell()
-            write_audio(ark, samps, sr=args.sr)
+            write_audio(ark, samps, sr=sr)
             scp.write(f"{key} {ark_path}:{offset}\n")
 
-        for n, (key, value) in enumerate(reader):
+        for n, key in enumerate(reader.index_keys):
             if n % num_shards != jobid:
                 continue
             try:
-                if value.endswith("|"):
-                    out = subprocess.check_output(value[:-1], shell=True)
-                    import io as _io
-                    samps = read_audio(_io.BytesIO(out), sr=args.sr)
-                else:
-                    samps = read_audio(value, sr=args.sr)
+                samps = reader[key]
             except Exception as exc:
                 logger.warning(f"Worker {jobid}: reading {key} failed "
                                f"({exc}), skipped")
+                failed += 1
                 continue
             if segments is None:
                 emit(key, samps)
@@ -58,6 +55,10 @@ def _pack(jobid: int, num_shards: int, args) -> str:
             done += 1
             if done % PROG_INTERVAL == 0:
                 logger.info(f"Worker {jobid}: {done} utterances...")
+    if failed and not done:
+        raise RuntimeError(
+            f"Worker {jobid}: ALL {failed} utterances failed to read — "
+            f"check --sr and the wav.scp entries")
     logger.info(f"Worker {jobid}: archived {done} utterances to {ark_path}")
     return scp_path
 

@@ -37,7 +37,15 @@ def _build_transform(conf_path: str, which: str):
 
 def _accumulate(jobid: int, num_jobs: int, args):
     """Partial (sum, sum-of-squares, #frames) over every num_jobs-th utt."""
+    import os
+    if num_jobs > 1:
+        # spawned workers must not fight over a single accelerator (TPU
+        # runtimes are one-client-per-chip); stats accumulation is cheap
+        # enough on CPU
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     import jax
+    if num_jobs > 1:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from aps_tpu.io import AudioReader, SegmentAudioReader

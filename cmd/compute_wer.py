@@ -12,6 +12,9 @@ from aps_tpu.io import TextReader
 from aps_tpu.metric.asr import permute_wer
 from aps_tpu.metric.reporter import WerReporter
 from aps_tpu.opts import StrToBoolAction
+from aps_tpu.utils import get_logger
+
+logger = get_logger(__name__)
 
 
 class TransReader(object):
@@ -33,6 +36,10 @@ class TransReader(object):
 
     def __iter__(self):
         for key in self.readers[0].index_keys:
+            if not all(key in reader for reader in self.readers):
+                logger.warning(f"Utterance {key} missing from some of the "
+                               f"transcription files, skipped")
+                continue
             yield key, self[key]
 
 
@@ -56,7 +63,7 @@ def run(args):
             # min: score each hyp/ref stream separately, keep the best
             err, tot = [math.inf, 0, 0], 0
             for h, r in zip(hyp, ref):
-                cur = permute_wer([h], [r])
+                cur = permute_wer([h], [r], details=args.details)
                 if sum(cur) < sum(err):
                     err, tot = cur, len(r)
         if each_utt:

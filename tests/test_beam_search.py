@@ -83,6 +83,23 @@ def test_beam_approx_topk_matches_exact(att_model):
                                [h["score"] for h in exact], rtol=1e-5)
 
 
+def test_beam_disable_unk_under_ctc(att_model):
+    """unk masking must hold in the joint CTC/attention branch too: ban
+    the token the unconstrained search emitted and it must disappear."""
+    from aps_tpu.asr.beam_search.att import beam_search
+    nnet, variables, x = att_model
+    kw = dict(sos=SOS, eos=EOS, beam_size=4, nbest=4, max_len=16,
+              ctc_weight=0.4, ctc_beam_size=8)
+    free = beam_search(nnet, variables, x, **kw)
+    emitted = [t for h in free for t in h["trans"][1:-1]]
+    assert emitted, "test needs a non-empty hypothesis"
+    banned = emitted[0]
+    hyp = beam_search(nnet, variables, x, unk=banned, **kw)
+    for h in hyp:
+        assert banned not in h["trans"][1:-1], \
+            f"banned token {banned} emitted in {h['trans']}"
+
+
 def test_beam_with_rnn_lm(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     from aps_tpu.asr.beam_search.lm import lm_adapter
