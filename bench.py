@@ -218,23 +218,39 @@ def main():
     parser.add_argument("--metric", default="all",
                         choices=["all", "decode", "train", "separate"])
     args = parser.parse_args()
-    import jax
-    from aps_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    fns = {"decode": bench_decode, "train": bench_train,
-           "separate": bench_separate}
     if args.metric != "all":
+        import jax
+        from aps_tpu.utils import enable_compilation_cache
+        enable_compilation_cache()
+        on_tpu = jax.devices()[0].platform not in ("cpu",)
+        fns = {"decode": bench_decode, "train": bench_train,
+               "separate": bench_separate}
         print(json.dumps(fns[args.metric](on_tpu)))
         return
-    result = fns["decode"](on_tpu)
-    extra = []
-    for name in ("train", "separate"):
-        try:
-            extra.append(fns[name](on_tpu))
-        except Exception as exc:  # secondary metrics must not kill the run
-            extra.append({"metric": name, "error": str(exc)[:200]})
-    result["extra"] = extra
+    # each metric runs in a FRESH process: leftover device state from one
+    # benchmark measurably slows the next (observed 15x on the train step
+    # after the decode executables were resident), and a clean room per
+    # metric also isolates failures
+    import os
+    import subprocess
+    import sys
+    results = {}
+    for name in ("decode", "train", "separate"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--metric", name],
+            capture_output=True, text=True, timeout=3000)
+        line = ""
+        for ln in reversed(proc.stdout.strip().splitlines()):
+            if ln.startswith("{"):
+                line = ln
+                break
+        if proc.returncode == 0 and line:
+            results[name] = json.loads(line)
+        else:
+            results[name] = {"metric": name,
+                             "error": (proc.stderr or "no output")[-200:]}
+    result = results["decode"]
+    result["extra"] = [results["train"], results["separate"]]
     print(json.dumps(result))
 
 
