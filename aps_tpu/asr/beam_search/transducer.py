@@ -170,8 +170,10 @@ def _extract(final: TransducerState, blank: int, nbest: int,
         n = int(final.length[k])
         seq = [int(v) for v in np.asarray(final.tokens[k, :n])]
         norm = max(n, 1) if len_norm else 1
+        # blank-padded at both ends (reference transducer.py:153): the
+        # decode CLIs strip trans[1:-1] uniformly across model families
         hyps.append({"score": float(final.score[k]) / norm,
-                     "trans": [blank] + seq})
+                     "trans": [blank] + seq + [blank]})
     hyps = sorted(hyps, key=lambda h: h["score"], reverse=True)
     return hyps[:nbest]
 

@@ -130,7 +130,9 @@ def extract_nbest(state: BeamState, param: BeamSearchParam, nbest: int,
             continue
         n = int(length[k])
         if not done[k]:
-            if not (final and param.allow_partial) and not final:
+            # un-ended hypotheses are only emitted at final extraction when
+            # --allow-partial is set (reference utils.py:462-468 semantics)
+            if not (final and param.allow_partial):
                 continue
         # trans = sos + tokens + eos
         seq = [int(t) for t in tokens[k, :n + 1]]

@@ -214,6 +214,16 @@ class StopDetector(object):
         return dict(self.__dict__)
 
     def load_state_dict(self, state_dict: Dict) -> None:
+        state_dict = dict(state_dict)
+        if "mode" in state_dict:
+            # legacy checkpoints stored mode + an unsigned best_criterion;
+            # convert to the signed representation so mode="max" resumes
+            # keep tracking improvements correctly
+            sign = 1.0 if state_dict.pop("mode") == "min" else -1.0
+            state_dict["sign"] = sign
+            if "best_criterion" in state_dict:
+                state_dict["best_criterion"] = \
+                    sign * state_dict["best_criterion"]
         self.__dict__.update(state_dict)
 
     def step(self, update_value: float) -> bool:

@@ -86,11 +86,15 @@ class DataParallelTrainer(Trainer):
         self._rng, sub = jax.random.split(self._rng)
         return sub
 
-    def _device_egs(self, egs: Dict) -> Dict:
-        """Shard batch arrays over "data". Uneven batches are trimmed to a
-        multiple of the mesh's data axis first (drop-remainder); only
-        batches smaller than the device count fall back to replication."""
-        egs = fit_batch_to_mesh(egs, self.ndev)
+    def _device_egs(self, egs: Dict, train: bool = True) -> Dict:
+        """Shard batch arrays over "data". Uneven train batches are trimmed
+        to a multiple of the mesh's data axis first (drop-remainder); only
+        batches smaller than the device count fall back to replication.
+        Eval batches are never trimmed — validation loss (which drives
+        early stopping and best-checkpoint selection) must see every dev
+        utterance, so uneven dev batches replicate instead."""
+        if train:
+            egs = fit_batch_to_mesh(egs, self.ndev)
         out = {}
         for k, v in egs.items():
             if isinstance(v, (np.ndarray, jax.Array)) and getattr(
@@ -293,7 +297,7 @@ class DataParallelTrainer(Trainer):
 
     def valid_one_step(self, egs: Dict) -> None:
         host, dev = self._split_egs(egs)
-        dev = self._device_egs(dev)
+        dev = self._device_egs(dev, train=False)
         stats = self._eval_fn(self.params, self.mstate, dev)
         self.reporter.update(host)
         self.reporter.update(stats)

@@ -6,12 +6,23 @@ the secondary metrics so one driver run records the whole picture.
 Headline (the BASELINE.md north star): batched beam-search decode RTF of
 the flagship full-size Conformer AED on one chip — audio seconds decoded
 per wall-clock second, beam 8 with CTC fusion 0.4, batch 64 of 8 s
-utterances. vs_baseline references the best recorded value of the previous
-round (BENCH_r01: 210.48x), so >1.0 means this round got faster.
+utterances, with the shipped --approx-topk pruning. Both topk configs are
+measured: `value` is approx (the deployment path), `rtf_exact_topk` is the
+full-vocab-sort search.
+
+Comparison fields (separate semantics, VERDICT r02 weak #4):
+  vs_baseline   — like-for-like ratio vs the ROUND-1 first implementation
+                  (decode: exact-topk vs the exact-topk 210.48; train/
+                  separate: same config as r01)
+  vs_prev_round — ratio vs the best value of the previous round in the
+                  SAME configuration (decode: approx vs approx)
 
 Secondary metrics (also runnable alone via --metric):
-  train    — Conformer AED ctc_xent train-step RTF (bf16 matmuls) + MFU
-             estimated from the XLA-reported step FLOPs vs chip bf16 peak
+  train    — Conformer AED ctc_xent train-step RTF (bf16 matmuls) + MFU:
+             `mfu_analytic` from hand-counted matmul FLOPs (the honest
+             number) and `mfu_xla_overcount` from XLA cost_analysis, which
+             overestimates by ~50% and can exceed 1.0 (kept only to track
+             compiler drift)
   separate — Conv-TasNet (sse@time_tcn) batched separation RTF (bf16)
 
 Recorded history lives in BENCHMARKS.md."""
@@ -20,11 +31,18 @@ import argparse
 import json
 import time
 
-# best recorded values to compare against (previous round / BENCHMARKS.md)
-RECORDED = {
-    "decode": 210.48,  # BENCH_r01.json
+# round-1 first-implementation values (BENCH_r01.json / BENCHMARKS.md):
+# the fixed "baseline" this framework is measured against round over round
+ROUND1 = {
+    "decode_exact": 210.48,  # BENCH_r01.json (exact top_k)
     "train": 3303.0,  # BENCHMARKS.md train-step RTF, bf16 (r2 corrected)
     "separate": 2681.0,  # BENCHMARKS.md Conv-TasNet bf16 batch 32 x 4 s
+}
+# previous round's best (BENCH_r02.json), same configuration per metric
+PREV_ROUND = {
+    "decode_approx": 1241.21,
+    "train": 46118.42,
+    "separate": 4132.31,
 }
 # TPU v5e bf16 peak (MXU): ~197 TFLOP/s; MFU is only estimated on TPU runs
 V5E_BF16_PEAK = 197e12
@@ -66,27 +84,37 @@ def bench_decode(on_tpu: bool):
     B = 64 if on_tpu else 2
     utts = [jnp.asarray(rng.standard_normal(S) * 0.1, dtype=jnp.float32)
             for _ in range(B)]
-    # approx_topk: the shipped --approx-topk decoding option (recall-0.99
-    # candidate pruning instead of a full vocab sort per step)
+    # both configs are measured, interleaved in one process so chip
+    # contention hits them equally: approx_topk (the shipped --approx-topk
+    # recall-0.99 candidate pruning) is the headline; exact top_k is kept
+    # for the like-for-like r01 comparison and accuracy accounting
     kwargs = dict(sos=V - 3, eos=V - 2, beam_size=8, nbest=1,
                   max_len=40 if on_tpu else 8, ctc_weight=0.4,
-                  ctc_beam_size=12, approx_topk=on_tpu)
-    # compile
-    api.beam_search_batch(nnet, variables, utts, **kwargs)
+                  ctc_beam_size=12)
     iters = 5 if on_tpu else 2
-    best = float("inf")
+    best = {True: float("inf"), False: float("inf")}
+    for approx in (True, False):  # compile both first
+        api.beam_search_batch(nnet, variables, utts, approx_topk=approx,
+                              **kwargs)
     for _ in range(3 if on_tpu else 1):
-        beg = time.perf_counter()
-        for _ in range(iters):
-            api.beam_search_batch(nnet, variables, utts, **kwargs)
-        best = min(best, time.perf_counter() - beg)
-    rtf = B * secs * iters / best
+        for approx in (True, False):
+            beg = time.perf_counter()
+            for _ in range(iters):
+                api.beam_search_batch(nnet, variables, utts,
+                                      approx_topk=approx, **kwargs)
+            best[approx] = min(best[approx], time.perf_counter() - beg)
+    rtf = B * secs * iters / best[True]
+    rtf_exact = B * secs * iters / best[False]
     return {
         "metric": "conformer_aed_batched_decode_rtf",
         "value": round(rtf, 2),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(rtf / RECORDED["decode"], 3),
-        "utts_per_sec": round(B * iters / best, 2),
+        # exact-vs-exact: like-for-like against the r01 implementation
+        "vs_baseline": round(rtf_exact / ROUND1["decode_exact"], 3),
+        # approx-vs-approx: did this round get faster than the last one
+        "vs_prev_round": round(rtf / PREV_ROUND["decode_approx"], 3),
+        "rtf_exact_topk": round(rtf_exact, 2),
+        "utts_per_sec": round(B * iters / best[True], 2),
     }
 
 
@@ -162,11 +190,36 @@ def bench_train(on_tpu: bool):
         "metric": "conformer_aed_train_rtf",
         "value": round(rtf, 2),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(rtf / RECORDED["train"], 3),
+        "vs_baseline": round(rtf / ROUND1["train"], 3),
+        "vs_prev_round": round(rtf / PREV_ROUND["train"], 3),
         "utts_per_sec": round(N * iters / wall, 2),
     }
-    if step_flops and on_tpu:
-        out["mfu"] = round(step_flops * iters / wall / V5E_BF16_PEAK, 4)
+    if on_tpu:
+        # analytic matmul FLOPs (the defensible MFU, VERDICT r02 weak #1):
+        # every weight participates in one MAC per sequence position, so
+        # fwd matmul FLOPs = 2 * params * positions; backward costs ~2x
+        # forward (grad wrt inputs + wrt weights) -> factor 3. Encoder
+        # params see the subsampled frame count, decoder params the token
+        # count. This undercounts attention score/context matmuls (small
+        # vs the weight matmuls) — true MFU is slightly higher.
+        import numpy as _np
+        from jax import tree_util as tu
+        enc_p = dec_p = 0
+        for path, leaf in tu.tree_flatten_with_path(params)[0]:
+            n = int(_np.prod(leaf.shape))
+            if "decoder" in str(path):
+                dec_p += n
+            else:  # encoder + ctc head: applied per encoder frame
+                enc_p += n
+        t_enc = (S // 160) // 4  # 10 ms frames, conv2d 4x subsampling
+        fwd = 2 * (enc_p * N * t_enc + dec_p * N * To)
+        out["mfu_analytic"] = round(3 * fwd * iters / wall / V5E_BF16_PEAK,
+                                    4)
+        if step_flops:
+            # XLA's cost_analysis flop count: known to overcount (~50%,
+            # can exceed 1.0); kept only to watch compiler drift
+            out["mfu_xla_overcount"] = round(
+                step_flops * iters / wall / V5E_BF16_PEAK, 4)
     return out
 
 
@@ -208,7 +261,8 @@ def bench_separate(on_tpu: bool):
         "metric": "conv_tasnet_batched_separate_rtf",
         "value": round(rtf, 2),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(rtf / RECORDED["separate"], 3),
+        "vs_baseline": round(rtf / ROUND1["separate"], 3),
+        "vs_prev_round": round(rtf / PREV_ROUND["separate"], 3),
         "utts_per_sec": round(B * iters / wall, 2),
     }
 

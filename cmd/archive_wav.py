@@ -64,7 +64,13 @@ def _pack(jobid: int, num_shards: int, args) -> str:
 
 
 def run(args):
-    shards = max(args.num_arks, args.num_jobs, 1)
+    # --num-arks alone decides the shard count; --num-jobs only bounds the
+    # worker pool (an ark shard is written by exactly one worker, so extra
+    # jobs beyond the shard count would sit idle)
+    shards = max(args.num_arks, 1)
+    if args.num_jobs > shards:
+        logger.info(f"--num-jobs {args.num_jobs} > --num-arks {shards}: "
+                    f"only {shards} workers can run (one per ark shard)")
     if shards == 1:
         _pack(0, 1, args)
         return

@@ -8,15 +8,21 @@ config after import, before any backend is initialized."""
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# APS_TPU_TEST=1 switches to the opt-in real-chip tier (tests/tpu/): the
+# axon TPU plugin stays registered and tests marked `tpu` run on hardware
+ON_CHIP = os.environ.get("APS_TPU_TEST") == "1"
+
+if not ON_CHIP:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

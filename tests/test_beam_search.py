@@ -35,9 +35,10 @@ def att_model():
 def test_greedy_equals_beam1(att_model):
     from aps_tpu.asr.beam_search.att import beam_search, greedy_search
     nnet, variables, x = att_model
-    g = greedy_search(nnet, variables, x, sos=SOS, eos=EOS, max_len=16)
+    g = greedy_search(nnet, variables, x, sos=SOS, eos=EOS, max_len=16,
+                      allow_partial=True)
     b = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=1,
-                    nbest=1, max_len=16)
+                    nbest=1, max_len=16, allow_partial=True)
     assert g[0]["trans"] == b[0]["trans"]
     np.testing.assert_allclose(g[0]["score"], b[0]["score"], rtol=1e-5)
 
@@ -46,9 +47,11 @@ def test_beam_improves_or_equals(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     nnet, variables, x = att_model
     b1 = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=1,
-                     nbest=1, max_len=16, len_norm=False)
+                     nbest=1, max_len=16, len_norm=False,
+                     allow_partial=True)
     b8 = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=8,
-                     nbest=8, max_len=16, len_norm=False)
+                     nbest=8, max_len=16, len_norm=False,
+                     allow_partial=True)
     assert len(b8) >= 1
     assert b8[0]["score"] >= b1[0]["score"] - 1e-4
     # hypotheses all start with sos and end with eos
@@ -63,7 +66,8 @@ def test_beam_with_ctc_weight(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     nnet, variables, x = att_model
     hyp = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
-                      nbest=2, max_len=16, ctc_weight=0.4, ctc_beam_size=8)
+                      nbest=2, max_len=16, ctc_weight=0.4, ctc_beam_size=8,
+                      allow_partial=True)
     assert len(hyp) >= 1
     assert np.isfinite(hyp[0]["score"])
 
@@ -75,6 +79,7 @@ def test_beam_approx_topk_matches_exact(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     nnet, variables, x = att_model
     kw = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=16,
+              allow_partial=True,
               ctc_weight=0.4, ctc_beam_size=8)
     exact = beam_search(nnet, variables, x, **kw)
     approx = beam_search(nnet, variables, x, approx_topk=True, **kw)
@@ -89,6 +94,7 @@ def test_beam_disable_unk_under_ctc(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     nnet, variables, x = att_model
     kw = dict(sos=SOS, eos=EOS, beam_size=4, nbest=4, max_len=16,
+              allow_partial=True,
               ctc_weight=0.4, ctc_beam_size=8)
     free = beam_search(nnet, variables, x, **kw)
     emitted = [t for h in free for t in h["trans"][1:-1]]
@@ -110,7 +116,8 @@ def test_beam_with_rnn_lm(att_model):
                       jnp.zeros((1, 4), dtype=jnp.int32), training=False)
     adapter = lm_adapter(lm, lm_vars)
     hyp = beam_search(nnet, variables, x, lm=adapter, lm_weight=0.2,
-                      sos=SOS, eos=EOS, beam_size=4, nbest=1, max_len=12)
+                      sos=SOS, eos=EOS, beam_size=4, nbest=1, max_len=12,
+                      allow_partial=True)
     assert np.isfinite(hyp[0]["score"])
 
 
@@ -184,12 +191,15 @@ def xfmr_model():
 def test_xfmr_beam_search(xfmr_model):
     from aps_tpu.asr.beam_search.transformer import beam_search, greedy_search
     nnet, variables, x = xfmr_model
-    g = greedy_search(nnet, variables, x, sos=SOS, eos=EOS, max_len=12)
+    g = greedy_search(nnet, variables, x, sos=SOS, eos=EOS, max_len=12,
+                      allow_partial=True)
     b = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
-                    nbest=2, max_len=12, len_norm=False)
+                    nbest=2, max_len=12, len_norm=False,
+                    allow_partial=True)
     assert g[0]["trans"][0] == SOS and g[0]["trans"][-1] == EOS
     b1 = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=1,
-                     nbest=1, max_len=12, len_norm=False)
+                     nbest=1, max_len=12, len_norm=False,
+                     allow_partial=True)
     assert b[0]["score"] >= b1[0]["score"] - 1e-4
 
 
@@ -197,7 +207,8 @@ def test_xfmr_beam_search_ctc(xfmr_model):
     from aps_tpu.asr.beam_search.transformer import beam_search
     nnet, variables, x = xfmr_model
     hyp = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
-                      nbest=2, max_len=12, ctc_weight=0.3)
+                      nbest=2, max_len=12, ctc_weight=0.3,
+                      allow_partial=True)
     assert np.isfinite(hyp[0]["score"])
 
 
@@ -235,6 +246,7 @@ def test_beam_search_batch_matches_single(att_model):
         jnp.asarray(rng.standard_normal(4800) * 0.1, dtype=jnp.float32),
     ]
     kwargs = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=12,
+                  allow_partial=True,
                   ctc_weight=0.3)
     batched = beam_search_batch(nnet, variables, xs, **kwargs)
     assert len(batched) == len(xs)
@@ -255,7 +267,8 @@ def test_xfmr_beam_search_batch(xfmr_model):
     rng = np.random.default_rng(13)
     xs = [x, jnp.asarray(rng.standard_normal(6400) * 0.1,
                          dtype=jnp.float32)]
-    kwargs = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=10)
+    kwargs = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=10,
+                  allow_partial=True)
     batched = beam_search_batch(nnet, variables, xs, **kwargs)
     single = beam_search(nnet, variables, xs[0], **kwargs)
     assert batched[0][0]["trans"] == single[0]["trans"]
@@ -359,9 +372,10 @@ def test_beam_search_end_detect(att_model):
     from aps_tpu.asr.beam_search.att import beam_search
     nnet, variables, x = att_model
     full = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
-                       nbest=1, max_len=16)
+                       nbest=1, max_len=16, allow_partial=True)
     early = beam_search(nnet, variables, x, sos=SOS, eos=EOS, beam_size=4,
-                        nbest=1, max_len=16, end_detect=True)
+                        nbest=1, max_len=16, end_detect=True,
+                        allow_partial=True)
     assert early[0]["trans"][0] == SOS and early[0]["trans"][-1] == EOS
     assert np.isfinite(early[0]["score"]) and np.isfinite(full[0]["score"])
     # the early stop may truncate partial hypotheses; the best finished
@@ -382,9 +396,11 @@ def test_beam_with_xfmr_lm(att_model):
                       jnp.zeros((1, 4), dtype=jnp.int32), None)
     adapter = XfmrLmAdapter(lm, lm_vars, max_len=12, sos=SOS)
     hyp = beam_search(nnet, variables, x, lm=adapter, lm_weight=0.2,
-                      sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=12)
+                      sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=12,
+                      allow_partial=True)
     assert hyp[0]["trans"][0] == SOS and hyp[0]["trans"][-1] == EOS
     batched = beam_search_batch(nnet, variables, [x], lm=adapter,
                                 lm_weight=0.2, sos=SOS, eos=EOS,
-                                beam_size=4, nbest=2, max_len=12)
+                                beam_size=4, nbest=2, max_len=12,
+                                allow_partial=True)
     assert batched[0][0]["trans"] == hyp[0]["trans"]

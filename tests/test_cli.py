@@ -14,6 +14,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, JAX_PLATFORMS="cpu")
 ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
+pytestmark = pytest.mark.slow  # subprocess CLI chains, minutes each
+
 
 def run_cmd(args, **kwargs):
     proc = subprocess.run([sys.executable] + args, cwd=REPO, env=ENV,

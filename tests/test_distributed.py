@@ -96,7 +96,7 @@ def test_sharded_batched_decode_matches_unsharded():
         for _ in range(8)
     ]
     kwargs = dict(sos=V - 2, eos=V - 1, beam_size=4, nbest=2, max_len=6,
-                  ctc_weight=0.3)
+                  ctc_weight=0.3, allow_partial=True)
     plain = api.beam_search_batch(nnet, variables, batch, **kwargs)
     mesh = build_mesh()
     sharded = api.beam_search_batch(nnet, variables, batch, mesh=mesh,

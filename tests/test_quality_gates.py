@@ -18,6 +18,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(os.environ, JAX_PLATFORMS="cpu")
 ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
+pytestmark = pytest.mark.slow  # full train->decode->score subprocess chains
+
 TONES = {"a": 330.0, "b": 880.0, "c": 1760.0}
 SR = 16000
 SEG = 2560  # 0.16 s tone per token
@@ -141,6 +143,64 @@ def test_asr_heldout_zero_wer(tone_corpus, tmp_path):
              "--dict", str(cpt / "dict")])
     wer = _wer_of(out, root / "cv_text")
     assert wer == 0.0, f"held-out WER {wer}% != 0 (quality gate)"
+
+
+def test_transducer_heldout_zero_wer(tone_corpus, tmp_path):
+    """RNN-T end-to-end through the real CLI chain (VERDICT r02 missing
+    #3): train_am with asr@transducer on the tone corpus, transducer beam
+    search via cmd/decode.py, compute_wer on held-out utterances == 0%."""
+    root, _ = tone_corpus
+    conf = {
+        "nnet": "asr@transducer",
+        "nnet_conf": {
+            "input_size": 40,
+            "enc_type": "pytorch_rnn",
+            "enc_proj": 32,
+            "enc_kwargs": {"hidden": 64, "num_layers": 1,
+                           "bidirectional": True},
+            "dec_kwargs": {"embed_size": 16, "jot_dim": 32, "hidden": 64,
+                           "num_layers": 1},
+        },
+        "asr_transform": {
+            "feats": "fbank-log-cmvn", "frame_len": 400, "frame_hop": 160,
+            "num_mels": 40, "window": "hamm",
+        },
+        "task": "asr@transducer",
+        "task_conf": {"reduction": "batchmean"},
+        "data_conf": {
+            "fmt": "am@raw",
+            "loader": {"max_dur": 10, "min_dur": 0.1, "min_token_num": 1,
+                       "tokenizer": "word"},
+            "train": {"wav_scp": str(root / "tr_wav.scp"),
+                      "text": str(root / "tr_text"),
+                      "utt2dur": str(root / "tr_dur")},
+            "valid": {"wav_scp": str(root / "cv_wav.scp"),
+                      "text": str(root / "cv_text"),
+                      "utt2dur": str(root / "cv_dur")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 2e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 8},
+            "clip_gradient": 5.0,
+            "no_impr": 100,
+            "report_metrics": ["loss"],
+        },
+    }
+    conf_path = tmp_path / "1b.yaml"
+    conf_path.write_text(yaml.dump(conf))
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "16",
+             "--epochs", "30", "--dict", str(root / "dict"),
+             "--num-workers", "0", "--prog-interval", "100"])
+    out = tmp_path / "cv.decode"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
+             "--am", str(cpt), "--beam-size", "4", "--nbest", "1",
+             "--dict", str(cpt / "dict")])
+    wer = _wer_of(out, root / "cv_text")
+    assert wer == 0.0, f"held-out transducer WER {wer}% != 0 (quality gate)"
 
 
 def _sisnr(est, ref) -> float:
