@@ -39,21 +39,22 @@ class EnhASRMixin:
                                    enh_input_size=self.enh_input_size)
 
     def _enhance(self, x_pad, x_len, training: bool = False):
-        """x_pad: N x C x S multi-channel wave -> enhanced features."""
+        """x_pad: N x C x S multi-channel wave -> enhanced features.
+        Spectra stay in the packed `... x 2` real-pair layout end to end
+        (no complex64 on device — see aps_tpu/ops/cplx_pair)."""
         packed, x_len = self.enh_transform.encode(x_pad, x_len)
-        cstft = packed[..., 0] + 1j * packed[..., 1]
         if self.enh_type[-4:] == "mvdr":
             feats = self.enh_transform(packed, training=training)
-            x_enh = self.enh_net(feats, cstft, inp_len=x_len,
+            x_enh = self.enh_net(feats, packed, inp_len=x_len,
                                  training=training)
         elif self.enh_type.startswith("time_") or \
                 self.enh_type == "google_clp":
-            x_enh = self.enh_net(cstft, training=training)
+            x_enh = self.enh_net(packed, training=training)
         else:
-            x_enh = self.enh_net(cstft)
-        # mvdr output is complex N x T x F -> magnitude features via asr
-        if jnp.iscomplexobj(x_enh):
-            x_enh = jnp.abs(x_enh)
+            x_enh = self.enh_net(packed)
+        # mvdr output is packed N x T x F x 2 -> magnitude features
+        if x_enh.ndim == 4 and x_enh.shape[-1] == 2:
+            x_enh = jnp.sqrt(x_enh[..., 0]**2 + x_enh[..., 1]**2 + 1e-10)
         if self.asr_transform is not None:
             x_enh, _ = self.asr_transform(x_enh, None, training=training)
         return x_enh, x_len

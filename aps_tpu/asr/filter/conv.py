@@ -6,9 +6,10 @@ TimeInvariantFilter:65 "time_invar", TimeInvariantAttFilter:155
 "time_invar_att", TimeVariantFilter:277 "time_variant"; EnhFrontEnds registry).
 
 TPU design: the reference's grouped complex convs (groups=num_bins) are
-per-frequency-bin complex matmuls — expressed here directly as einsums over a
-complex weight (real/imag param pair), which XLA maps onto the MXU without
-grouped-conv lowering."""
+per-frequency-bin complex matmuls — expressed as REAL einsums over a
+real/imag weight pair (aps_tpu/ops/cplx_pair), which XLA maps onto the MXU
+without grouped-conv lowering and without a complex64 dtype (the TPU
+runtime has none). Spectra arrive packed `... x 2`."""
 
 from typing import Optional, Union
 
@@ -19,16 +20,18 @@ from flax import linen as nn
 
 from aps_tpu.asr.base.encoder import PyTorchRNNEncoder
 from aps_tpu.libs import Register
+from aps_tpu.ops import cplx_pair as cp
 from aps_tpu.transform.utils import mel_filter
 
 EnhFrontEnds = Register("enh_filter")
 
 
 def _cplx_param(module, name, shape):
+    """Complex weight as a (real, imag) pair of real params."""
     init = nn.initializers.lecun_normal()
     wr = module.param(f"{name}_real", init, shape)
     wi = module.param(f"{name}_imag", init, shape)
-    return wr + 1j * wi
+    return wr, wi
 
 
 class TimeInvariantFilter(nn.Module):
@@ -46,16 +49,16 @@ class TimeInvariantFilter(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, eps: float = 1e-5,
                  training: bool = False) -> jnp.ndarray:
-        """x: N x C x F x T complex -> N x T x B*D features."""
+        """x: N x C x F x T x 2 packed -> N x T x B*D features."""
         if self.spectra_init not in ["mel", "random"]:
             raise ValueError(f"Unsupported init: {self.spectra_init}")
-        N, C, F, T = x.shape
+        N, C, F, T = x.shape[:4]
         assert C == self.num_channels
         # per-bin beamforming: N x B x F x T
         w = _cplx_param(self, "beam",
                        (F, self.spatial_filters, self.num_channels))
-        b = jnp.einsum("fbc,ncft->nbft", w, x)
-        b = jnp.sqrt(b.real**2 + b.imag**2 + eps)
+        b = cp.ceinsum("fbc,ncft->nbft", w, cp.from_packed(x))
+        b = cp.cabs(b, eps=eps)
         # spectra projection F -> D
         if self.spectra_init == "mel":
             proj_init = lambda *_: jnp.asarray(
@@ -94,21 +97,22 @@ class TimeInvariantAttFilter(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, eps: float = 1e-5,
                  training: bool = False) -> jnp.ndarray:
-        """x: N x C x F x T complex -> N x T x D."""
+        """x: N x C x F x T x 2 packed -> N x T x D."""
         if self.query_type not in ["rnn", "conv"]:
             raise ValueError(f"Unsupported query type: {self.query_type}")
-        N, C, F, T = x.shape
+        N, C, F, T = x.shape[:4]
         assert C == self.num_channels
+        xp = cp.from_packed(x)
 
         def beam(name, nb):
             w = _cplx_param(self, name, (F, nb, self.num_channels))
-            b = jnp.einsum("fbc,ncft->ntfb", w, x)
-            return jnp.sqrt(b.real**2 + b.imag**2 + eps)
+            b = cp.ceinsum("fbc,ncft->ntfb", w, xp)
+            return cp.cabs(b, eps=eps)
 
         if self.query_type == "conv":
             bq = beam("query", 1)[..., 0]  # N x T x F
         else:
-            x_ch0 = jnp.abs(x[:, 0] + eps)  # N x F x T
+            x_ch0 = cp.cabs((xp[0][:, 0], xp[1][:, 0]), eps=eps)  # N x F x T
             bq, _ = PyTorchRNNEncoder(inp_features=F, out_features=F,
                                       dropout=0.2, hidden=512,
                                       name="pred_q")(
@@ -152,20 +156,25 @@ class TimeVariantFilter(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, eps: float = 1e-5,
                  training: bool = False) -> jnp.ndarray:
-        """x: N x C x F x T complex -> N x T x B*D."""
-        N, C, F, T = x.shape
+        """x: N x C x F x T x 2 packed -> N x T x B*D."""
+        N, C, F, T = x.shape[:4]
         assert C == self.num_channels
         R = self.time_reception
         pad = (R - 1) // 2
         # pad time and gather reception windows: N x C x F x T x R
-        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pad, R - 1 - pad)))
         idx = (np.arange(T)[:, None] + np.arange(R)[None, :])
-        xw = xp[..., idx]
+
+        def windows(part):
+            padded = jnp.pad(part, ((0, 0), (0, 0), (0, 0),
+                                    (pad, R - 1 - pad)))
+            return padded[..., idx]
+
+        xw = (windows(x[..., 0]), windows(x[..., 1]))
         w = _cplx_param(
             self, "filter",
             (F, self.spatial_filters, R, self.num_channels))
-        b = jnp.einsum("fbrc,ncftr->nbft", w, xw)
-        b = jnp.sqrt(b.real**2 + b.imag**2 + eps)
+        b = cp.ceinsum("fbrc,ncftr->nbft", w, xw)
+        b = cp.cabs(b, eps=eps)
         pw = self.param("proj", nn.initializers.lecun_normal(),
                         (F, self.spectra_filters))
         f = jnp.einsum("nbft,fd->nbtd", b, pw)

@@ -97,14 +97,14 @@ class ComplexLinear(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x) -> tuple:
+        """x: (real, imag) pair -> (real, imag) pair."""
         real = nn.Dense(self.out_features, use_bias=self.use_bias,
                         name="real")
         imag = nn.Dense(self.out_features, use_bias=self.use_bias,
                         name="imag")
-        r = real(x.real) - imag(x.imag)
-        i = real(x.imag) + imag(x.real)
-        return r + 1j * i
+        xr, xi = x
+        return real(xr) - imag(xi), real(xi) + imag(xr)
 
 
 class CLPFsBeamformer(nn.Module):
@@ -123,23 +123,22 @@ class CLPFsBeamformer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, eps: float = 1e-5,
                  training: bool = False) -> jnp.ndarray:
-        """x: N x C x F x T complex -> N x T x P*G features."""
+        """x: N x C x F x T x 2 packed -> N x T x P*G features."""
         if self.spectra_init not in ["mel", "random"]:
             raise ValueError(f"Unsupported init: {self.spectra_init}")
-        if x.ndim == 3:
+        if x.ndim == 4:
             x = x[None]
         beam = FixedBeamformer(self.spatial_filters, self.num_channels,
                                self.num_bins, weight=self.weight,
                                requires_grad=True, name="beam")
         # N x P x T x F
-        br, bi = beam(x.real, x.imag, trans=True)
-        b = br + 1j * bi
+        br, bi = beam(x[..., 0], x[..., 1], trans=True)
         if self.spectra_complex:
-            w = ComplexLinear(self.num_bins, self.spectra_filters,
-                              use_bias=False, name="proj")(b)
-            w = jnp.abs(w + eps)
+            wr, wi = ComplexLinear(self.num_bins, self.spectra_filters,
+                                   use_bias=False, name="proj")((br, bi))
+            w = jnp.sqrt(wr * wr + wi * wi + eps)
         else:
-            p = jnp.abs(b + eps)
+            p = jnp.sqrt(br * br + bi * bi + eps)
             if self.spectra_init == "mel":
                 pw = self.param(
                     "proj", lambda *_: jnp.asarray(

@@ -3,7 +3,14 @@
 
 Parity surface: /root/reference/aps/asr/filter/mvdr.py (trace:19,
 estimate_covar:42, MvdrBeamformer:65, ChannelAttention:151, RNNMaskMvdr:176
-"rnn_mask_mvdr"). Native jnp.complex64 throughout."""
+"rnn_mask_mvdr").
+
+TPU design: all complex arithmetic is real-pair (aps_tpu/ops/cplx_pair) —
+spectra flow as packed `... x 2` arrays and the noise-covariance solve is
+an unrolled small-matrix Cholesky, because the TPU runtime implements
+neither complex64 nor an `inv` over complex inputs. Numerically identical
+to the complex formulation (tests/test_nnet_asr.py::test_enh_att_asr,
+tests/tpu/test_on_chip.py::test_mvdr_matches_numpy_complex)."""
 
 from typing import Optional
 
@@ -15,28 +22,37 @@ from aps_tpu.asr.base.attention import padding_mask
 from aps_tpu.asr.base.encoder import PyTorchRNNEncoder
 from aps_tpu.asr.filter.conv import EnhFrontEnds
 from aps_tpu.const import EPSILON
+from aps_tpu.ops import cplx_pair as cp
 
 
-def trace(cplx_mat: jnp.ndarray) -> jnp.ndarray:
-    """Trace of ... x C x C complex matrices."""
-    return jnp.trace(cplx_mat, axis1=-2, axis2=-1)
+def trace(pair) -> jnp.ndarray:
+    """Trace of ... x C x C complex pairs."""
+    return (jnp.trace(pair[0], axis1=-2, axis2=-1),
+            jnp.trace(pair[1], axis1=-2, axis2=-1))
 
 
-def beamform(weight: jnp.ndarray, spectrogram: jnp.ndarray) -> jnp.ndarray:
-    """weight: N x C x F, spectrogram: N x C x F x T -> N x F x T."""
-    return jnp.sum(jnp.conj(weight)[..., None] * spectrogram, axis=1)
+def beamform(weight, spectrogram) -> tuple:
+    """weight pair: N x C x F, spectrogram pair: N x C x F x T ->
+    N x F x T pair (sum_c conj(w) * x)."""
+    wr, wi = weight[0][..., None], weight[1][..., None]
+    xr, xi = spectrogram
+    real = jnp.sum(wr * xr + wi * xi, axis=1)
+    imag = jnp.sum(wr * xi - wi * xr, axis=1)
+    return real, imag
 
 
-def estimate_covar(mask: jnp.ndarray, spectrogram: jnp.ndarray):
-    """mask: N x F x T, spectrogram: N x C x F x T -> PSD N x F x C x C."""
+def estimate_covar(mask: jnp.ndarray, spectrogram):
+    """mask: N x F x T, spectrogram pair: N x C x F x T ->
+    PSD pair N x F x C x C."""
     # N x F x C x T
-    spec = jnp.swapaxes(spectrogram, 1, 2)
+    spec = (jnp.swapaxes(spectrogram[0], 1, 2),
+            jnp.swapaxes(spectrogram[1], 1, 2))
     mask = mask[:, :, None, :]
-    nominator = jnp.einsum("...it,...jt->...ij", spec * mask,
-                           jnp.conj(spec))
+    masked = (spec[0] * mask, spec[1] * mask)
+    nominator = cp.ceinsum("...it,...jt->...ij", masked, cp.conj(spec))
     # N x F x 1 x 1 broadcast over C x C
     denominator = jnp.maximum(jnp.sum(mask, -1, keepdims=True), EPSILON)
-    return nominator / denominator
+    return nominator[0] / denominator, nominator[1] / denominator
 
 
 class ChannelAttention(nn.Module):
@@ -45,12 +61,14 @@ class ChannelAttention(nn.Module):
     att_dim: int
 
     @nn.compact
-    def __call__(self, Rs: jnp.ndarray) -> jnp.ndarray:
-        """Rs: N x F x C x C complex -> u: N x C."""
-        C = Rs.shape[-1]
+    def __call__(self, Rs) -> jnp.ndarray:
+        """Rs pair: N x F x C x C -> u: N x C."""
+        C = Rs[0].shape[-1]
         eye = jnp.eye(C, dtype=bool)
-        Rs = jnp.where(eye, 0, Rs).sum(-1) / (C - 1)  # N x F x C
-        proj = nn.Dense(self.att_dim)(jnp.abs(jnp.swapaxes(Rs, 1, 2)))
+        Rr = jnp.where(eye, 0, Rs[0]).sum(-1) / (C - 1)  # N x F x C
+        Ri = jnp.where(eye, 0, Rs[1]).sum(-1) / (C - 1)
+        mag = cp.cabs((Rr, Ri))
+        proj = nn.Dense(self.att_dim)(jnp.swapaxes(mag, 1, 2))
         gvec = nn.Dense(1)(jnp.tanh(proj))
         return jax.nn.softmax(gvec[..., 0], -1)
 
@@ -63,15 +81,22 @@ class MvdrBeamformer(nn.Module):
     eps: float = 1e-5
 
     def _derive_weight(self, Rs, Rn, u, eps: float = 1e-5):
-        """Rs/Rn: N x F x C x C, u: N x C -> weight N x F x C."""
-        C = Rn.shape[-1]
-        I = jnp.eye(C, dtype=Rn.dtype)
-        Rn = Rn + I * eps
-        Rn_inv = jnp.linalg.inv(Rn)
-        Rn_inv_Rs = Rn_inv @ Rs
-        tr = trace(Rn_inv_Rs) + eps
-        Rn_inv_Rs_u = jnp.sum(Rn_inv_Rs * u[:, None, None, :], -1)
-        return Rn_inv_Rs_u / tr[..., None]
+        """Rs/Rn pairs: N x F x C x C, u: N x C -> weight pair N x F x C."""
+        C = Rn[0].shape[-1]
+        I = jnp.eye(C, dtype=Rn[0].dtype)
+        Rn = (Rn[0] + I * eps, Rn[1])
+        # inv(Rn) @ Rs via hermitian Cholesky solve (unrolled; C is small)
+        Rn_inv_Rs = cp.chol_solve_hermitian(Rn, Rs)
+        tr_r, tr_i = trace(Rn_inv_Rs)
+        Rn_inv_Rs_u = (jnp.sum(Rn_inv_Rs[0] * u[:, None, None, :], -1),
+                       jnp.sum(Rn_inv_Rs[1] * u[:, None, None, :], -1))
+        # complex divide by (tr + eps): N x F -> broadcast over C
+        dr = (tr_r + eps)[..., None]
+        di = tr_i[..., None]
+        denom = dr * dr + di * di
+        wr = (Rn_inv_Rs_u[0] * dr + Rn_inv_Rs_u[1] * di) / denom
+        wi = (Rn_inv_Rs_u[1] * dr - Rn_inv_Rs_u[0] * di) / denom
+        return wr, wi
 
     def _process_mask(self, mask, x_len):
         if mask is None:
@@ -86,17 +111,20 @@ class MvdrBeamformer(nn.Module):
 
     @nn.compact
     def __call__(self, mask_s, x, mask_n=None, x_len=None):
-        """mask_s: N x T x F (real), x: N x C x F x T complex ->
-        enhanced N x T x F complex."""
+        """mask_s: N x T x F (real), x: N x C x F x T x 2 packed ->
+        enhanced N x T x F x 2 packed."""
+        xp = cp.from_packed(x)
         mask_s = self._process_mask(mask_s, x_len)
         mask_n = self._process_mask(mask_n, x_len)
-        Rs = estimate_covar(mask_s, x)
-        Rn = estimate_covar(1 - mask_s if mask_n is None else mask_n, x)
+        Rs = estimate_covar(mask_s, xp)
+        Rn = estimate_covar(1 - mask_s if mask_n is None else mask_n, xp)
         u = ChannelAttention(self.num_bins, self.att_dim, name="ref")(Rs)
         weight = self._derive_weight(Rs, Rn, u, eps=self.eps)
-        weight = jnp.swapaxes(weight, 1, 2)  # N x C x F
-        beam = beamform(weight, x)
-        return jnp.swapaxes(beam, 1, 2)
+        weight = (jnp.swapaxes(weight[0], 1, 2),
+                  jnp.swapaxes(weight[1], 1, 2))  # N x C x F
+        beam = beamform(weight, xp)
+        return cp.to_packed((jnp.swapaxes(beam[0], 1, 2),
+                             jnp.swapaxes(beam[1], 1, 2)))
 
 
 class RNNMaskMvdr(nn.Module):
@@ -116,8 +144,8 @@ class RNNMaskMvdr(nn.Module):
     @nn.compact
     def __call__(self, feats, cstft, eps: float = 1e-5, inp_len=None,
                  training: bool = False):
-        """feats: N x T x F, cstft: N x C x F x T complex ->
-        enhanced N x T x F complex."""
+        """feats: N x T x F, cstft: N x C x F x T x 2 packed ->
+        enhanced N x T x F x 2 packed."""
         out_bins = self.num_bins * 2 if self.mask_net_noise else \
             self.num_bins
         mask, _ = PyTorchRNNEncoder(inp_features=self.enh_input_size,

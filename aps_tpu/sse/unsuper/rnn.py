@@ -3,7 +3,7 @@
 
 Parity surface: /root/reference/aps/sse/unsuper/rnn.py (norm_observation:31,
 permu_aligner:42, RNNEnhML:88 "sse@rnn_enh_ml"). Complex STFT uses native
-jnp.complex64."""
+real-pair packed spectra (no complex64 on device)."""
 
 from typing import Optional, Tuple, Union
 
@@ -93,16 +93,16 @@ class RNNEnhML(SSEBase):
                                           non_linear="sigmoid")
 
     def _norm_abs(self, obs: jnp.ndarray) -> jnp.ndarray:
-        """Magnitude-normalized complex STFT: N x C x F x T x 2 ->
-        complex N x C x F x T."""
-        cplx = obs[..., 0] + 1j * obs[..., 1]
-        mag = jnp.abs(cplx)
+        """Magnitude-normalized STFT, packed: N x C x F x T x 2 ->
+        N x C x F x T x 2. mag_norm * exp(i*angle) == z / ||z||_C, so the
+        whole operation is a real division on the packed pair (no angle /
+        complex dtype needed on device)."""
+        mag = jnp.sqrt(obs[..., 0]**2 + obs[..., 1]**2)
         mag_norm = jnp.linalg.norm(mag, axis=1, keepdims=True)
-        mag = mag / jnp.maximum(mag_norm, EPSILON)
-        return mag * jnp.exp(1j * jnp.angle(cplx))
+        return obs / jnp.maximum(mag_norm, EPSILON)[..., None]
 
     def __call__(self, noisy: jnp.ndarray, training: bool = False):
-        """noisy: N x C x S -> (cstft complex N x C x F x T,
+        """noisy: N x C x S -> (normalized stft packed N x C x F x T x 2,
         masks N x T x F)."""
         self.check_args(noisy, training=True, valid_dim=[3])
         cstft, _ = self.enh_transform.encode(noisy, None)

@@ -119,14 +119,20 @@ class FreqSaTask(SepTask):
     def _ctx(self) -> StftCtx:
         return self.nnet.enh_transform.ctx("forward_stft")
 
-    def _ref_mag(self, mix_in_polar, ref_in_polar):
-        ref_mag, ref_pha = ref_in_polar[..., 0], ref_in_polar[..., 1]
+    def _ref_mag(self, mix_packed, mix_mag, ref_packed):
+        """Packed (real/imag) spectra -> (t)PSA target magnitude.
+        cos(ref_pha - mix_pha) comes from the trig identity
+        (Rr*Rm + Ir*Im) / (|ref||mix|) — no arctan2 on device (the TPU
+        runtime has none)."""
+        ref_mag = jnp.sqrt(ref_packed[..., 0]**2 + ref_packed[..., 1]**2 +
+                           EPSILON)
         if self.phase_sensitive:
-            mix_pha = mix_in_polar[..., 1]
-            ref_mag = ref_mag * jnp.maximum(jnp.cos(ref_pha - mix_pha), 0)
+            dot = ref_packed[..., 0] * mix_packed[..., 0] + \
+                ref_packed[..., 1] * mix_packed[..., 1]
+            cos_dif = dot / jnp.maximum(ref_mag * mix_mag, EPSILON)
+            ref_mag = ref_mag * jnp.maximum(cos_dif, 0)
         if self.truncated > 0:
-            ref_mag = jnp.minimum(ref_mag,
-                                  self.truncated * mix_in_polar[..., 0])
+            ref_mag = jnp.minimum(ref_mag, self.truncated * mix_mag)
         return ref_mag
 
     def __call__(self, egs, training: bool = True):
@@ -135,14 +141,16 @@ class FreqSaTask(SepTask):
         mix, ref = egs["mix"], egs["ref"]
         mask = self.nnet(mix, training=training)
         ctx = self._ctx()
-        mix_in_polar = ctx.forward(mix[:, 0] if mix.ndim == 3 else mix,
-                                   return_polar=True)
+        mix_packed = ctx.forward(mix[:, 0] if mix.ndim == 3 else mix)
+        mix_mag = jnp.sqrt(mix_packed[..., 0]**2 + mix_packed[..., 1]**2 +
+                           EPSILON)
         if not isinstance(mask, (list, tuple)):
             mask, ref = [mask], [ref]
-        ref_in_polar = [ctx.forward(r, return_polar=True) for r in ref]
-        ref_mag = [self._ref_mag(mix_in_polar, r) for r in ref_in_polar]
+        ref_in_packed = [ctx.forward(r) for r in ref]
+        ref_mag = [self._ref_mag(mix_packed, mix_mag, r)
+                   for r in ref_in_packed]
         if self.masking:
-            out = [m * mix_in_polar[..., 0] for m in mask]
+            out = [m * mix_mag for m in mask]
         else:
             out = list(mask)
         loss = hybrid_permu_objf(out, ref_mag, self.objf,
@@ -154,9 +162,12 @@ class FreqSaTask(SepTask):
         enable_dpcl = self.dpcl_weight > 0 and hasattr(self.nnet,
                                                        "dpcl_embed")
         if enable_dpcl and self.num_spks > 1:
-            raw_mag = jnp.stack([r[..., 0] for r in ref_in_polar], -1)
+            raw_mag = jnp.stack([
+                jnp.sqrt(r[..., 0]**2 + r[..., 1]**2 + EPSILON)
+                for r in ref_in_packed
+            ], -1)
             dpcl_loss = DpclObjfComputer()(self.nnet.dpcl_embed(mix),
-                                           raw_mag, mix_in_polar[..., 0],
+                                           raw_mag, mix_mag,
                                            mean=True)
             loss = self.dpcl_weight * dpcl_loss + \
                 (1 - self.dpcl_weight) * mask_loss
@@ -240,7 +251,10 @@ class TimeSaTask(SepTask):
         if self.pre_emphasis > 0:
             rest = wav[:, 1:] - self.pre_emphasis * wav[:, :-1]
             wav = jnp.concatenate([wav[:, :1], rest], axis=1)
-        return self._ctx().forward(wav, return_polar=True)[..., 0]
+        packed = self._ctx().forward(wav)
+        # magnitude from the packed pair (polar mode needs arctan2 for the
+        # phase half, which the TPU runtime lacks — and we'd discard it)
+        return jnp.sqrt(packed[..., 0]**2 + packed[..., 1]**2 + EPSILON)
 
     def __call__(self, egs, training: bool = True):
         mix, ref = egs["mix"], egs["ref"]

@@ -136,6 +136,53 @@ class IpdTransform(nn.Module):
         return ipd.reshape(N, T, -1)
 
 
+class PackedIpdTransform(nn.Module):
+    """Angle-free IPD over packed spectra: cos/sin of the inter-channel
+    phase difference computed by trig identity —
+        cos(tl - tr) = (Rl*Rr + Il*Ir) / (|zl||zr|)
+        sin(tl - tr) = (Il*Rr - Rl*Ir) / (|zl||zr|)
+    so the cos/sin feature modes never need arctan2, which this TPU
+    runtime does not implement (raw-phase mode falls back to the
+    angle-based IpdTransform pipeline). Output matches IpdTransform."""
+    ipd_index: str = "1,0"
+    cos: bool = True
+    sin: bool = False
+    eps: float = EPSILON
+
+    def setup(self):
+        pair = [tuple(map(int, p.split(",")))
+                for p in self.ipd_index.split(";")]
+        self.index_l = [t[0] for t in pair]
+        self.index_r = [t[1] for t in pair]
+
+    def exportable(self) -> bool:
+        return True
+
+    def __call__(self, packed: jnp.ndarray, training: bool = False):
+        """packed: N x C x F x T x 2 -> ipd: N x T x MF"""
+        if packed.ndim == 4:
+            packed = packed[None]
+        N, C, F, T = packed.shape[:4]
+        assert C != 1
+        # N x C x T x F
+        re = jnp.swapaxes(packed[..., 0], -1, -2)
+        im = jnp.swapaxes(packed[..., 1], -1, -2)
+        # N x T x C x F
+        re, im = jnp.swapaxes(re, 1, 2), jnp.swapaxes(im, 1, 2)
+        rl, il = re[..., self.index_l, :], im[..., self.index_l, :]
+        rr, ir = re[..., self.index_r, :], im[..., self.index_r, :]
+        mag = jnp.sqrt((rl * rl + il * il) * (rr * rr + ir * ir))
+        mag = jnp.maximum(mag, self.eps)
+        cos_ipd = (rl * rr + il * ir) / mag
+        if self.cos:
+            ipd = cos_ipd
+            if self.sin:
+                ipd = jnp.concatenate([ipd, (il * rr - rl * ir) / mag], 2)
+            return ipd.reshape(N, T, -1)
+        raise ValueError("PackedIpdTransform is cos/sin only; raw phase "
+                         "uses the IpdTransform pipeline")
+
+
 class DfTransform(nn.Module):
     """Directional (angle) features for a known circular array geometry.
 
@@ -355,12 +402,20 @@ class FeatureTransform(nn.Module):
         else:
             self.mag_transform = None
         if "ipd" in feats_tok and self.ipd_index:
-            self.ipd_layers = [
-                PhaseTransform(dim=-1),
-                TFTransposeTransform(),
-                IpdTransform(ipd_index=self.ipd_index, cos=self.cos_ipd,
-                             sin=self.sin_ipd)
-            ]
+            if self.cos_ipd:
+                # angle-free trig-identity path (works on TPU backends
+                # without arctan2)
+                self.ipd_layers = [
+                    PackedIpdTransform(ipd_index=self.ipd_index,
+                                       cos=self.cos_ipd, sin=self.sin_ipd)
+                ]
+            else:
+                self.ipd_layers = [
+                    PhaseTransform(dim=-1),
+                    TFTransposeTransform(),
+                    IpdTransform(ipd_index=self.ipd_index, cos=False,
+                                 sin=False)
+                ]
             npair = len(self.ipd_index.split(";"))
             nbin = self.stft_ctx().num_bins
             feats_dim += npair * (2 if self.cos_ipd and self.sin_ipd else 1) * \

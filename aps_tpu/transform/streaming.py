@@ -41,8 +41,8 @@ class StreamingSTFT(object):
         """frame: N x (C) x win_length -> N x (C) x F x 2."""
         dc, ds = _dft_matrices(self.fft_size, self.win_length)
         buf = frame * self.w
-        real = jnp.matmul(buf, dc)
-        imag = jnp.matmul(buf, ds)
+        real = jnp.matmul(buf, dc, precision="highest")
+        imag = jnp.matmul(buf, ds, precision="highest")
         if self.normalized:
             real = real / math.sqrt(self.fft_size)
             imag = imag / math.sqrt(self.fft_size)
@@ -101,7 +101,8 @@ class StreamingiSTFT(object):
         else:
             real, imag = frame[..., 0], frame[..., 1]
         icos, isin = _idft_matrices(self.fft_size, self.win_length)
-        wav = jnp.matmul(real, icos) + jnp.matmul(imag, isin)
+        wav = jnp.matmul(real, icos, precision="highest") + \
+            jnp.matmul(imag, isin, precision="highest")
         if self.normalized:
             wav = wav * math.sqrt(self.fft_size)
         wav = wav * self.w

@@ -245,8 +245,11 @@ def forward_stft(wav: jnp.ndarray,
     # elementwise ops into the same program. Truncating the DFT matrix to
     # win_length rows IS the zero-padding to fft_size.
     dft_cos, dft_sin = _dft_matrices(fft_size, win_length)
-    real = jnp.matmul(frames, dft_cos)
-    imag = jnp.matmul(frames, dft_sin)
+    # force f32 MXU passes: the TPU default (bf16) loses ~8 mantissa bits
+    # per DFT matmul, which is audible after an iSTFT round-trip; these
+    # matmuls are tiny next to the model so HIGHEST costs ~nothing
+    real = jnp.matmul(frames, dft_cos, precision="highest")
+    imag = jnp.matmul(frames, dft_sin, precision="highest")
     if normalized:
         scale = 1.0 / math.sqrt(fft_size)
         real, imag = real * scale, imag * scale
@@ -293,7 +296,8 @@ def inverse_stft(transform: jnp.ndarray,
         imag = imag[..., :fft_size // 2 + 1]
     # inverse one-sided DFT as two matmuls (no FFT op needed on device)
     icos, isin = _idft_matrices(fft_size, win_length)
-    frames = jnp.matmul(real, icos) + jnp.matmul(imag, isin)
+    frames = jnp.matmul(real, icos, precision="highest") + \
+        jnp.matmul(imag, isin, precision="highest")
     if normalized:
         frames = frames * math.sqrt(fft_size)
     frames = frames * win

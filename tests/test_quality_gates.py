@@ -203,6 +203,82 @@ def test_transducer_heldout_zero_wer(tone_corpus, tmp_path):
     assert wer == 0.0, f"held-out transducer WER {wer}% != 0 (quality gate)"
 
 
+def test_flagship_conformer_heldout_zero_wer(tone_corpus, tmp_path):
+    """The benched family (asr@xfmr conformer encoder + transformer
+    decoder) gets its own accuracy gate (VERDICT r02 weak #6): train on
+    the tone corpus, decode held-out utterances through the BATCHED
+    search with --approx-topk (the headline bench config) AND exact
+    top-k — both must be 0% WER and produce identical transcripts."""
+    root, _ = tone_corpus
+    conf = {
+        "nnet": "asr@xfmr",
+        "nnet_conf": {
+            "input_size": 40,
+            "enc_type": "cfmr",
+            "enc_kwargs": {
+                "num_layers": 2,
+                "proj": "conv2d",
+                "proj_kwargs": {"conv_channels": 16, "num_layers": 1},
+                "pose": "rel",
+                "arch_kwargs": {"att_dim": 32, "nhead": 2,
+                                "feedforward_dim": 64, "kernel_size": 7,
+                                "pre_norm": True},
+            },
+            "dec_kwargs": {
+                "num_layers": 2,
+                "arch_kwargs": {"att_dim": 32, "nhead": 2,
+                                "feedforward_dim": 64},
+            },
+        },
+        "asr_transform": {
+            "feats": "fbank-log-cmvn", "frame_len": 400, "frame_hop": 160,
+            "num_mels": 40, "window": "hamm",
+        },
+        "task": "asr@ctc_xent",
+        "task_conf": {"ctc_weight": 0.2},
+        "data_conf": {
+            "fmt": "am@raw",
+            "loader": {"max_dur": 10, "min_dur": 0.1, "min_token_num": 1,
+                       "tokenizer": "word"},
+            "train": {"wav_scp": str(root / "tr_wav.scp"),
+                      "text": str(root / "tr_text"),
+                      "utt2dur": str(root / "tr_dur")},
+            "valid": {"wav_scp": str(root / "cv_wav.scp"),
+                      "text": str(root / "cv_text"),
+                      "utt2dur": str(root / "cv_dur")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 2e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 8},
+            "clip_gradient": 5.0,
+            "no_impr": 100,
+            "report_metrics": ["loss", "accu"],
+        },
+    }
+    conf_path = tmp_path / "1c.yaml"
+    conf_path.write_text(yaml.dump(conf))
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "16",
+             "--epochs", "40", "--dict", str(root / "dict"),
+             "--num-workers", "0", "--prog-interval", "100"])
+    outs = {}
+    for tag, approx in [("approx", "true"), ("exact", "false")]:
+        out = tmp_path / f"cv.{tag}.decode"
+        run_cmd(["cmd/decode_batch.py", str(root / "cv_wav.scp"), str(out),
+                 "--am", str(cpt), "--beam-size", "4", "--nbest", "1",
+                 "--max-len", "8", "--ctc-weight", "0.2",
+                 "--approx-topk", approx, "--batch-size", "6",
+                 "--dict", str(cpt / "dict")])
+        wer = _wer_of(out, root / "cv_text")
+        assert wer == 0.0, f"{tag} topk held-out WER {wer}% != 0"
+        outs[tag] = out.read_text()
+    assert outs["approx"] == outs["exact"], \
+        "approx-topk changed flagship transcripts"
+
+
 def _sisnr(est, ref) -> float:
     est = est - est.mean()
     ref = ref - ref.mean()

@@ -12,11 +12,16 @@ import os
 
 import pytest
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
 
 def pytest_collection_modifyitems(config, items):
+    """Skip the real-chip tests unless APS_TPU_TEST=1. NOTE: pytest calls
+    this hook with the WHOLE session's items, so filter to this dir."""
     if os.environ.get("APS_TPU_TEST") == "1":
         return
     skip = pytest.mark.skip(reason="real-chip tier: set APS_TPU_TEST=1")
     for item in items:
-        item.add_marker(skip)
-        item.add_marker(pytest.mark.tpu)
+        if str(item.fspath).startswith(_HERE):
+            item.add_marker(skip)
+            item.add_marker(pytest.mark.tpu)

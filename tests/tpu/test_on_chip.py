@@ -51,24 +51,29 @@ def test_stft_istft_roundtrip_on_chip(rng):
                                np.asarray(wav)[:, 512:n], atol=1e-3)
 
 
-def test_complex64_linalg_on_chip(rng):
-    """Raw complex64 ops the MVDR/CACGMM paths rely on (PARITY.md:168-173
-    flags these as backend-dependent): inv, eigvalsh, solve on batched
-    hermitian complex matrices, compiled for this backend."""
-    a = rng.standard_normal((4, 257, 3, 3)) + \
-        1j * rng.standard_normal((4, 257, 3, 3))
-    R = jnp.asarray(a @ a.conj().swapaxes(-1, -2) +
-                    3 * np.eye(3), dtype=jnp.complex64)
-
-    @jax.jit
-    def f(R):
-        return jnp.linalg.inv(R), jnp.linalg.eigvalsh(R)
-
-    Rinv, ev = f(R)
-    eye = np.asarray(Rinv @ R)
-    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
-                               atol=1e-2)
-    assert np.isfinite(np.asarray(ev)).all() and (np.asarray(ev) > 0).all()
+def test_cplx_pair_linalg_on_chip(rng):
+    """The real-pair complex linalg the MVDR/CACGMM paths use (this
+    backend implements no complex64 at all — even complex array creation
+    raises UNIMPLEMENTED — so everything routes through
+    aps_tpu/ops/cplx_pair): hermitian Cholesky solve + logdet, compiled
+    on chip, vs host numpy complex."""
+    from aps_tpu.ops import cplx_pair as cp
+    C = 3
+    a = rng.standard_normal((4, 257, C, C)) + \
+        1j * rng.standard_normal((4, 257, C, C))
+    R = a @ a.conj().swapaxes(-1, -2) + 3 * np.eye(C)
+    B = rng.standard_normal((4, 257, C, 2)) + \
+        1j * rng.standard_normal((4, 257, C, 2))
+    Rp = (jnp.asarray(R.real, jnp.float32), jnp.asarray(R.imag,
+                                                        jnp.float32))
+    Bp = (jnp.asarray(B.real, jnp.float32), jnp.asarray(B.imag,
+                                                        jnp.float32))
+    xr, xi, ld = jax.jit(lambda R, B: (
+        *cp.chol_solve_hermitian(R, B), cp.logdet_hermitian(R)))(Rp, Bp)
+    np.testing.assert_allclose(np.asarray(xr) + 1j * np.asarray(xi),
+                               np.linalg.solve(R, B), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ld), np.linalg.slogdet(R)[1],
+                               atol=1e-3)
 
 
 def test_ipd_df_features_finite(rng):
