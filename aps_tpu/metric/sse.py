@@ -83,13 +83,67 @@ def permute_sse_metric(name: str, ref, est,
         return _permute_eval(funcs[name], ref, est,
                              compute_permutation=compute_permutation, fs=fs)
     if name == "sdr":
-        try:
-            from museval.metrics import bss_eval_images
-        except ImportError as e:
-            raise ImportError("SDR requires the 'museval' package") from e
         if ref.ndim == 1:
             ref, est = ref[None, :], est[None, :]
-        sdr, *_ , popt = bss_eval_images(ref[..., None], est[..., None])
-        score = float(np.mean(sdr))
-        return (score, popt) if compute_permutation else score
+        try:
+            from museval.metrics import bss_eval_images
+            sdr, *_, popt = bss_eval_images(ref[..., None], est[..., None])
+            score = float(np.mean(sdr))
+            return (score, popt) if compute_permutation else score
+        except ImportError:
+            # built-in BSS-eval (v3 sources semantics, 512-tap allowed
+            # distortion filter) — no optional package needed
+            sdr, popt = _bss_eval_sdr(ref, est)
+            score = float(np.mean(sdr))
+            return (score, popt) if compute_permutation else score
     raise ValueError(f"Unknown metric: {name}")
+
+
+def _proj_matrices(ref: np.ndarray, est: np.ndarray, L: int):
+    """Least-squares projection helpers: Gram matrix of all references at
+    lags 0..L-1 and est/ref lagged cross-correlations, via FFT."""
+    nsrc, T = ref.shape
+    nfft = int(2**np.ceil(np.log2(T + L)))
+    rf = np.fft.rfft(ref, n=nfft)
+    ef = np.fft.rfft(est, n=nfft)
+    # G[j*L+a, k*L+b] = sum_t ref_j[t-a] ref_k[t-b] = corr_jk[b-a]
+    corr = np.fft.irfft(rf[:, None] * rf[None].conj(), n=nfft)  # J x K x n
+    G = np.zeros((nsrc * L, nsrc * L))
+    idx = np.subtract.outer(np.arange(L), np.arange(L))  # a-b
+    for j in range(nsrc):
+        for k in range(nsrc):
+            G[j * L:(j + 1) * L, k * L:(k + 1) * L] = \
+                corr[j, k][-idx % nfft]
+    # D[i, j*L+a] = sum_t est_i[t] ref_j[t-a]
+    xcorr = np.fft.irfft(ef[:, None] * rf[None].conj(), n=nfft)
+    D = xcorr[:, :, :L].reshape(est.shape[0], nsrc * L)
+    return G, D
+
+
+def _bss_eval_sdr(ref: np.ndarray, est: np.ndarray, L: int = 512):
+    """BSS-eval SDR with permutation search. ref/est: S x T ->
+    (per-source SDR under the best permutation, permutation)."""
+    nsrc, T = ref.shape
+    L = min(L, max(T // 4, 1))
+    G, D = _proj_matrices(ref, est, L)
+    G = G + np.eye(nsrc * L) * (1e-10 * np.trace(G) / (nsrc * L) + 1e-12)
+    e_est = np.einsum("it,it->i", est, est)
+    # s_target for pairing (i, j): projection of est_i onto the shifted
+    # copies of ref_j; the residual ||est - P est||^2 = ||est||^2 -
+    # ||P est||^2 (orthogonal projection) is e_interf + e_artif
+    sdr_pair = np.zeros((est.shape[0], nsrc))
+    for j in range(nsrc):
+        Gj = G[j * L:(j + 1) * L, j * L:(j + 1) * L]
+        Dj = D[:, j * L:(j + 1) * L]
+        cj = np.linalg.solve(Gj, Dj.T).T
+        s_target = np.einsum("ik,ik->i", cj, Dj)
+        distortion = np.maximum(e_est - s_target, 1e-12)
+        sdr_pair[:, j] = 10 * np.log10(
+            np.maximum(s_target, 1e-12) / distortion)
+    best, best_perm = None, None
+    for order in permutations(range(nsrc)):
+        tot = sum(sdr_pair[i, j] for i, j in enumerate(order))
+        if best is None or tot > best:
+            best, best_perm = tot, order
+    return np.asarray([sdr_pair[i, j]
+                       for i, j in enumerate(best_perm)]), best_perm

@@ -127,11 +127,18 @@ def run(args):
         src_reader = ScriptReader(args.feats_or_wav_scp)
 
     lm = None
+    ngram = None
     if args.lm:
         if Path(args.lm).is_file():
+            # n-gram LMs cannot step inside the compiled search loop (the
+            # reference's python-loop search queries kenlm per step); the
+            # TPU-native equivalent is wide-nbest rescoring: search
+            # without fusion, rescore every emitted hypothesis with the
+            # ngram, emit the rescored best
             from aps_tpu.asr.lm.ngram import NgramLM
-            lm = NgramLM(args.lm, load_dict(args.dict))
-            logger.info(f"Load ngram LM from {args.lm}")
+            ngram = NgramLM(args.lm, load_dict(args.dict))
+            logger.info(f"Load ngram LM from {args.lm} "
+                        f"(nbest-rescoring mode, weight {args.lm_weight})")
         else:
             from aps_tpu.asr.beam_search.lm import lm_adapter
             lm_eval = NnetEvaluator(args.lm, device_id=args.device_id,
@@ -157,7 +164,17 @@ def run(args):
     timer = SimpleTimer()
     tot_utts, tot_dur = 0, 0
     for key, src in src_reader:
-        nbest_hypos = decoder.run(src, lm=lm, **kwargs)
+        if ngram is not None:
+            # search all beam_size hypotheses, rescore with the ngram
+            wide = dict(kwargs, nbest=max(args.nbest, args.beam_size))
+            nbest_hypos = decoder.run(src, lm=None, **wide)
+            for hyp in nbest_hypos:
+                hyp["score"] += args.lm_weight * ngram.score(
+                    hyp["trans"][1:-1])
+            nbest_hypos = sorted(nbest_hypos, key=lambda h: h["score"],
+                                 reverse=True)[:args.nbest]
+        else:
+            nbest_hypos = decoder.run(src, lm=lm, **kwargs)
         nbest = [f"{key}\n"]
         for idx, hyp in enumerate(nbest_hypos):
             # remove sos/eos

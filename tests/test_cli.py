@@ -445,6 +445,22 @@ def test_decode_with_lm_fusion(am_workspace, tmp_path):
              "--am", str(cpt), "--function", "greedy_search",
              "--max-len", "8", "--dict", str(cpt / "dict")])
     assert len(open(out_g).readlines()) == 10
+    # ngram (ARPA) fusion: decode.py switches to nbest-rescoring mode
+    # through the built-in ARPA scorer (no kenlm needed)
+    vocab = [ln.split()[0] for ln in open(root / "dict")]
+    words = [w for w in vocab if not w.startswith("<")]
+    lines = ["\\data\\", f"ngram 1={len(words) + 3}", "", "\\1-grams:",
+             "-0.5\t<s>\t-0.3", "-1.0\t</s>", "-3.0\t<unk>"]
+    lines += [f"-1.0\t{w}\t-0.5" for w in words]
+    lines += ["", "\\end\\", ""]
+    arpa = tmp_path / "lm.arpa"
+    arpa.write_text("\n".join(lines))
+    out_ng = tmp_path / "hyp_ngram.text"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out_ng),
+             "--am", str(cpt), "--lm", str(arpa), "--lm-weight", "0.3",
+             "--beam-size", "2", "--nbest", "1", "--max-len", "8",
+             "--dict", str(cpt / "dict")])
+    assert len(open(out_ng).readlines()) == 10
 
 
 def test_average_checkpoint_and_export(tmp_path):

@@ -64,3 +64,78 @@ def test_reporters(capsys):
     wrep.report()
     out = capsys.readouterr().out
     assert "20.00%" in out
+
+
+def test_builtin_sdr_fallback():
+    """The built-in BSS-eval SDR (no museval): a filtered reference scores
+    near-perfect (distortion filter absorbs the FIR), noise at a known
+    level scores close to the SNR, and permutation is recovered."""
+    import numpy as np
+
+    from aps_tpu.metric.sse import permute_sse_metric
+    rng = np.random.default_rng(0)
+    T = 8000
+    a = rng.standard_normal(T).astype(np.float32)
+    b = rng.standard_normal(T).astype(np.float32)
+    # estimate = reference through a short FIR -> huge SDR
+    fir = np.asarray([0.9, 0.05, -0.03])
+    a_f = np.convolve(a, fir)[:T].astype(np.float32)
+    sdr = permute_sse_metric("sdr", a[None], a_f[None])
+    assert sdr > 40, sdr
+    # noise at 10 dB below the signal -> SDR ~ 10 dB
+    noise = rng.standard_normal(T).astype(np.float32)
+    noisy = a + noise * (np.linalg.norm(a) / np.linalg.norm(noise)) * \
+        10**(-10 / 20)
+    sdr = permute_sse_metric("sdr", a[None], noisy[None])
+    assert 8 < sdr < 12, sdr
+    # permuted 2-speaker estimate: best permutation recovered
+    ref = np.stack([a, b])
+    est = np.stack([b, a])
+    score, perm = permute_sse_metric("sdr", ref, est,
+                                     compute_permutation=True)
+    assert tuple(perm) == (1, 0) and score > 40
+
+
+def test_arpa_ngram_scoring(tmp_path):
+    """Pure-python ARPA backoff scorer (no kenlm): hand-checked logprobs
+    incl. a backoff path, kenlm score() semantics (<s> conditions, </s>
+    scored)."""
+    import math
+
+    from aps_tpu.asr.lm.ngram import NgramLM
+    arpa = r"""
+\data\
+ngram 1=5
+ngram 2=3
+
+\1-grams:
+-0.7	<s>	-0.3
+-0.6	a	-0.2
+-0.9	b	-0.4
+-1.2	</s>
+-2.0	<unk>
+
+\2-grams:
+-0.1	<s> a
+-0.5	a b
+-0.8	b </s>
+
+\end\
+""".strip() + "\n"
+    path = tmp_path / "toy.arpa"
+    path.write_text(arpa.replace("\\t", "\t"))
+    vocab = {"a": 0, "b": 1}
+    lm = NgramLM(str(path), vocab)
+    # P(a|<s>) = -0.1 (bigram); P(b|a) = -0.5; P(</s>|b) = -0.8
+    want = (-0.1 - 0.5 - 0.8) * math.log(10)
+    got = lm.score([0, 1])
+    assert abs(got - want) < 1e-6, (got, want)
+    # backoff path: P(a|b) = backoff(b) + P(a) = -0.4 + -0.6
+    want = (-0.1 + (-0.4 - 0.6) + (-0.2 - 1.2)) * math.log(10)
+    # ^ <s> a (bigram), a after b via backoff... compute directly:
+    # score([0, 0]) = P(a|<s>) + P(a|a) + P(</s>|a)
+    # P(a|a): no bigram "a a" -> backoff(a) -0.2 + P(a) -0.6 = -0.8
+    # P(</s>|a): no bigram "a </s>" -> backoff(a) -0.2 + P(</s>) -1.2
+    want = (-0.1 + (-0.2 - 0.6) + (-0.2 - 1.2)) * math.log(10)
+    got = lm.score([0, 0])
+    assert abs(got - want) < 1e-6, (got, want)
