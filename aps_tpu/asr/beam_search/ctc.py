@@ -84,7 +84,8 @@ class CtcScorer(object):
     def __init__(self, ctc_prob: jnp.ndarray, eos: int,
                  beam_size: int) -> None:
         """ctc_prob: T x V logits."""
-        self.logp = jax.nn.log_softmax(ctc_prob, axis=-1)
+        self.logp = jax.nn.log_softmax(
+            jnp.asarray(ctc_prob, dtype=jnp.float32), axis=-1)
         self.T, self.V = self.logp.shape
         self.eos = eos
         self.blank = self.V - 1

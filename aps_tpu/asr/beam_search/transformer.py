@@ -121,7 +121,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
          last_improve) = loop
         tok_prev = state.tokens[:, t]
         pred, cache = dec_logits(state.tokens, t, cache)
-        am_prob = jax.nn.log_softmax(pred / param.temperature, -1)
+        am_prob = jax.nn.log_softmax(
+            pred.astype(jnp.float32) / param.temperature, -1)
         V = am_prob.shape[-1]
         lm_prob = 0.0
         if lm is not None:
@@ -201,6 +202,7 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
                       beam_size: int = 8, nbest: int = 1, max_len: int = -1,
                       pad_to: int = -1,
                       matmul_precision: str = "default",
+                      dtype: str = "float32",
                       mesh=None,
                       **kwargs):
     """Batched transformer-decoder beam search: one compiled program per
@@ -237,10 +239,22 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
         ctc_out = None
 
     key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), ml,
-           use_ctc, enc_out.shape[1:], S, matmul_precision)
+           use_ctc, enc_out.shape[1:], S, matmul_precision, dtype)
 
     def _build():
         def _run(variables, enc_out, enc_len, ctc_out):
+            if dtype == "bfloat16":
+                # bf16 params + activations halve the HBM bytes of the
+                # per-step decoder matmuls (the search loop is
+                # bandwidth-bound at beam sizes); scores stay f32 — the
+                # logits are upcast before log_softmax and the CTC
+                # scorer keeps an f32 table, so beam ranking is unchanged
+                cast = lambda x: x.astype(jnp.bfloat16) \
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32 \
+                    else x
+                variables = jax.tree_util.tree_map(cast, variables)
+                enc_out = enc_out.astype(jnp.bfloat16)
+
             def core(enc, el, ctc):
                 return _search_core(nnet, variables, enc, el, ctc, lm,
                                     param, ml)

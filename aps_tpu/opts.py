@@ -118,6 +118,11 @@ class DecodingParser(object):
                         help="Approximate (recall-0.99) candidate top-k "
                         "in joint CTC/attention scoring — avoids a full "
                         "vocab sort per step on TPU")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="bfloat16 casts decoder params + encoder "
+                        "outputs inside the batched search (beam scores "
+                        "stay float32)")
     parser.add_argument("--spm", type=str, default="",
                         help="sentencepiece model for subword detok")
     parser.add_argument("--text-norm", type=str, default="")

@@ -28,7 +28,7 @@ beam_search_params = [
     "beam_size", "nbest", "max_len", "min_len", "len_norm", "lm_weight",
     "ctc_weight", "temperature", "len_penalty", "cov_penalty",
     "eos_threshold", "cov_threshold", "allow_partial", "end_detect",
-    "approx_topk"
+    "approx_topk", "dtype"
 ]
 
 

@@ -76,16 +76,31 @@ def test_cplx_pair_linalg_on_chip(rng):
                                atol=1e-3)
 
 
-def test_ipd_df_features_finite(rng):
-    """Multi-channel IPD features (complex64 angle arithmetic) on chip."""
+def test_ipd_features_on_chip(rng):
+    """Multi-channel IPD features on chip (angle-free trig-identity path;
+    this backend implements no arctan2): packed encode -> feature stack,
+    numerics vs the host-computed angles."""
     enh = EnhTransform(feats="spectrogram-log-cmvn-ipd", frame_len=512,
                        frame_hop=256, ipd_index="0,1;0,2", cos_ipd=True)
     wav = jnp.asarray(rng.standard_normal((2, 3, S)) * 0.1,
                       dtype=jnp.float32)
-    variables = enh.init(jax.random.PRNGKey(0), wav, None)
-    feats, _ = jax.jit(lambda w: enh.apply(variables, w, None))(wav)
+    variables = enh.init(jax.random.PRNGKey(0),
+                         jnp.zeros((2, 3, 257, 30, 2)))
+
+    @jax.jit
+    def feats_of(w):
+        packed, _ = enh.apply(variables, w, None, method="encode")
+        return packed, enh.apply(variables, packed)
+
+    packed, feats = feats_of(wav)
     assert feats.shape[-1] == 257 * 3
     assert np.isfinite(np.asarray(feats)).all()
+    # IPD block vs host-side angle arithmetic
+    z = np.asarray(packed[..., 0]) + 1j * np.asarray(packed[..., 1])
+    pha = np.angle(z)  # N x C x F x T
+    ref = np.cos(pha[:, 0] - pha[:, 1])  # pair 0,1: N x F x T
+    got = np.asarray(feats)[..., 257:2 * 257]  # N x T x F
+    np.testing.assert_allclose(got, np.swapaxes(ref, 1, 2), atol=1e-4)
 
 
 @pytest.mark.parametrize("enh_type,enh_kwargs,asr_input", [
@@ -119,9 +134,11 @@ def test_complex_front_end_forward_backward(rng, enh_type, enh_kwargs,
         ["params", "dropout", "aug", "ss"])}
     variables = nnet.init(rngs, x, x_len, y, y_len, training=True)
 
+    mstate = {k: v for k, v in variables.items() if k != "params"}
+
     def loss_fn(params):
-        dec_out, _, _ = nnet.apply({"params": params}, x, x_len, y, y_len,
-                                   training=False)
+        dec_out, _, _ = nnet.apply({"params": params, **mstate}, x, x_len,
+                                   y, y_len, training=False)
         return jnp.sum(jnp.square(dec_out))
 
     loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
@@ -150,9 +167,10 @@ def test_complex_sse_models(rng, name):
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
     variables = nnet.init(rngs, mix, training=False)
+    mstate = {k: v for k, v in variables.items() if k != "params"}
 
     def loss_fn(params):
-        out = nnet.apply({"params": params}, mix, training=False)
+        out = nnet.apply({"params": params, **mstate}, mix, training=False)
         leaves = out if isinstance(out, (list, tuple)) else [out]
         return sum(jnp.sum(jnp.abs(o)) for o in leaves)
 
