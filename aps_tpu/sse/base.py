@@ -2,8 +2,10 @@
 """SSE model base contract.
 
 Parity surface: /root/reference/aps/sse/base.py (SSEBase:68, tf_masking:23,
-MaskNonLinear:112). Complex math uses native jnp.complex64 — the reference's
-ComplexTensor workaround (aps/cplx.py) is unnecessary in JAX."""
+MaskNonLinear:112). Complex math is real-pair over packed `... x 2`
+spectra (aps_tpu/ops/cplx_pair) — the bench TPU runtime implements no
+complex64, and the reference's ComplexTensor workaround (aps/cplx.py)
+is equally unnecessary."""
 
 from typing import List, Optional, Union
 
