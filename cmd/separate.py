@@ -20,23 +20,44 @@ logger = get_logger(__name__)
 class Separator(NnetEvaluator):
 
     def __init__(self, cpt_dir, cpt_tag="best", device_id=-1,
-                 dtype="float32"):
+                 dtype="float32", fused=True):
         super(Separator, self).__init__(cpt_dir, cpt_tag=cpt_tag,
                                         device_id=device_id)
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-        # jitted entry points (compiled once per input shape; cached across
-        # processes by the persistent compilation cache)
-        self._jit_infer = jax.jit(
-            lambda v, m: self.nnet.apply(v, m, mode="time",
-                                         method="infer"))
-        self._jit_fwd = jax.jit(
-            lambda v, m: self.nnet.apply(v, m, training=False))
         if self.dtype != jnp.float32:
             # bf16 inference: ~76x faster than f32 on TPU v5e for conv
             # models at <0.1% output deviation
             self.variables = jax.tree_util.tree_map(
                 lambda x: x.astype(self.dtype)
                 if x.dtype == jnp.float32 else x, self.variables)
+        # jitted entry points (compiled once per input shape; cached across
+        # processes by the persistent compilation cache). Models exposing
+        # make_fused_eval (e.g. sse@time_tcn) get a folded fast path — one
+        # fused Pallas kernel per TCN block, ~2.2x on TPU vs the canonical
+        # apply (BENCHMARKS.md "Fused TCN inference")
+        fwd = None
+        make_fused = getattr(self.nnet, "make_fused_eval", None)
+        if fused and callable(make_fused):
+            fwd = make_fused(self.variables)
+            if fwd is not None:
+                logger.info("using fused eval forward")
+        if fwd is not None:
+            self._jit_fwd = jax.jit(lambda v, m: fwd(m))
+            jit_one = jax.jit(lambda m: fwd(m[None]))
+
+            def _infer_one(v, m):
+                sep = jit_one(m)
+                if isinstance(sep, (list, tuple)):
+                    return [s[0] for s in sep]
+                return sep[0]
+
+            self._jit_infer = _infer_one
+        else:
+            self._jit_infer = jax.jit(
+                lambda v, m: self.nnet.apply(v, m, mode="time",
+                                             method="infer"))
+            self._jit_fwd = jax.jit(
+                lambda v, m: self.nnet.apply(v, m, training=False))
 
     def run(self, src, chunk_hop=-1, chunk_len=-1, mode="time",
             pad_grid: float = 1.25):
@@ -119,7 +140,8 @@ def run(args):
     sep_dir = pathlib.Path(args.sep_dir)
     sep_dir.mkdir(parents=True, exist_ok=True)
     separator = Separator(args.checkpoint, cpt_tag=args.tag,
-                          device_id=args.device_id, dtype=args.dtype)
+                          device_id=args.device_id, dtype=args.dtype,
+                          fused=args.fused)
     reader = AudioReader(args.wav_scp, sr=args.sr, channel=args.channel)
     timer = SimpleTimer()
     tot_dur = 0
@@ -197,6 +219,11 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="bfloat16 is much faster on TPU")
+    parser.add_argument("--fused", type=lambda s: s.lower() != "false",
+                        default=True,
+                        help="use the model's folded fused-eval fast path "
+                        "when available (sse@time_tcn: one Pallas kernel "
+                        "per TCN block)")
     parser.add_argument("--pad-grid", type=float, default=1.25,
                         help="geometric input-length grid (compile reuse);"
                         " <= 1 disables padding")

@@ -126,3 +126,75 @@ def test_fused_fbank_matches_layered(rng, mode, frame_len, frame_hop):
     np.testing.assert_allclose(np.asarray(out[:, :T]),
                                np.asarray(ref[:, :T]), atol=1e-3,
                                rtol=1e-4)
+
+
+def test_tcn_block_kernel_matches_reference_math(rng):
+    """Fused TCN block kernel (interpret) == unfused block math."""
+    import jax.numpy as jnp
+    from aps_tpu.ops.pallas.tcn import PACK_ROWS, tcn_block_fused
+
+    N, T, B, H, d = 2, 72, 8, 16, 4
+    x = jnp.asarray(rng.standard_normal((N, T, B)), jnp.float32)
+    k1 = jnp.asarray(rng.standard_normal((B, H)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.standard_normal((H, B)) * 0.1, jnp.float32)
+    pack = jnp.asarray(rng.standard_normal((PACK_ROWS, H)) * 0.5,
+                       jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((1, B)) * 0.1, jnp.float32)
+
+    def ref(x, causal):
+        c1, g1, h1 = pack[0], pack[1], pack[2]
+        w0, w1, w2, cb = pack[3], pack[4], pack[5], pack[6]
+        g2, h2, a1, a2 = pack[7], pack[8], pack[9], pack[10]
+        y = x @ k1 + c1
+        y = jnp.where(y >= 0, y, a1 * y) * g1 + h1
+        pl_, pr = (2 * d, 0) if causal else (d, d)
+        yp = jnp.pad(y, ((0, 0), (pl_, pr), (0, 0)))
+        y2 = (w0 * yp[:, :T] + w1 * yp[:, d:T + d] +
+              w2 * yp[:, 2 * d:2 * d + T] + cb)
+        y2 = jnp.where(y2 >= 0, y2, a2 * y2) * g2 + h2
+        return y2 @ k2 + b2[0] + x
+
+    for causal in (False, True):
+        for slabs in (1, 2, 3):
+            got = tcn_block_fused(x, k1, pack, k2, b2, dilation=d,
+                                  causal=causal, slabs=slabs,
+                                  interpret=True)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(ref(x, causal)),
+                                       atol=1e-4)
+
+
+@pytest.mark.parametrize("mc", ["none", "learn"])
+def test_tcn_fused_eval_matches_apply(rng, mc):
+    """make_fused_eval (xla + pallas-interpret) == canonical apply."""
+    import jax.numpy as jnp
+    from aps_tpu.libs import aps_sse_nnet
+
+    nnet = aps_sse_nnet("sse@time_tcn")(num_spks=2, L=20, N=64, X=3, R=2,
+                                        B=64, H=128,
+                                        mixture_consistency=mc)
+    mix = jnp.asarray(rng.standard_normal((2, 8000)) * 0.1, jnp.float32)
+    v = nnet.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, mix, training=False)
+    # shift running stats off init values so the BN fold is exercised
+    bs = jax.tree_util.tree_map(
+        lambda x: x + jax.random.uniform(jax.random.PRNGKey(2), x.shape,
+                                         minval=0.1, maxval=0.5),
+        v["batch_stats"])
+    v = {"params": v["params"], "batch_stats": bs}
+    with jax.default_matmul_precision("highest"):
+        ref = nnet.apply(v, mix, training=False)
+        for impl in ("xla", "pallas"):
+            fwd = nnet.make_fused_eval(v, impl=impl, interpret=True)
+            assert fwd is not None
+            got = fwd(mix)
+            for a, b in zip(ref, got):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5)
+    # non-foldable config falls back to None
+    gln = aps_sse_nnet("sse@time_tcn")(num_spks=2, N=32, X=1, R=1, B=32,
+                                       H=64, norm="gLN")
+    v2 = gln.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, 4000)), training=False)
+    assert gln.make_fused_eval(v2) is None

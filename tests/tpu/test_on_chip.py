@@ -323,3 +323,37 @@ def test_approx_topk_transcript_agreement(rng):
                 for e, a in zip(exact, approx))
     assert agree == len(batch), \
         f"approx-topk changed {len(batch) - agree}/{len(batch)} transcripts"
+
+
+def test_fused_tcn_inference_compiled(rng):
+    """Fused Pallas TCN eval (compiled) == canonical apply on chip, and
+    the deployment bf16 path stays within bf16 rounding of it."""
+    import jax.numpy as jnp
+    from aps_tpu.libs import aps_sse_nnet
+
+    nnet = aps_sse_nnet("sse@time_tcn")(num_spks=2, L=20, N=64, X=4, R=2,
+                                        B=64, H=128)
+    mix = jnp.asarray(rng.standard_normal((2, 16000)) * 0.1, jnp.float32)
+    v = nnet.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, mix, training=False)
+    ref = nnet.apply(v, mix, training=False)
+    fwd = jax.jit(nnet.make_fused_eval(v, impl="pallas"))
+    got = fwd(mix)
+    # the canonical apply runs its matmuls at the TPU default bf16 MXU
+    # precision while the kernel accumulates at f32 (the fold is the more
+    # accurate side); measured max deviation ~6e-3 of full scale
+    for a, b in zip(ref, got):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale, atol=1e-2)
+    # bf16 deployment config compiles + runs
+    vb = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, v)
+    fwd16 = jax.jit(nnet.make_fused_eval(vb, impl="pallas"))
+    got16 = fwd16(mix.astype(jnp.bfloat16))
+    for a, b in zip(ref, got16):
+        scale = float(jnp.max(jnp.abs(a)))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b).astype(np.float32) / scale,
+                                   atol=5e-2)
