@@ -79,10 +79,22 @@ def _blocked_log_linear_rec(w: jnp.ndarray, p: jnp.ndarray,
 
 
 class CtcScorer(object):
-    """Functional CTC prefix scorer. blank = V - 1 (appended id)."""
+    """Functional CTC prefix scorer. blank = V - 1 (appended id).
+
+    use_pallas=True runs the whole per-step update as ONE fused Pallas
+    kernel (ops/pallas/ctc_score.py) with every intermediate
+    VMEM-resident. Measured on the v5e bench chip it is perf-NEUTRAL at
+    best: -8% in the vmapped batched search (the vmap grid serializes
+    one under-128-lane kernel instance per utterance while XLA's own
+    fusion of the blocked recursions parallelizes over the whole batch)
+    and +4% single-utterance — so the portable XLA path stays the
+    default everywhere; the kernel is kept as a verified opt-in for
+    narrow-batch serving shapes (parity tests in test_pallas.py and
+    tests/tpu)."""
 
     def __init__(self, ctc_prob: jnp.ndarray, eos: int,
-                 beam_size: int) -> None:
+                 beam_size: int, use_pallas: bool = False,
+                 interpret: bool = False) -> None:
         """ctc_prob: T x V logits."""
         self.logp = jax.nn.log_softmax(
             jnp.asarray(ctc_prob, dtype=jnp.float32), axis=-1)
@@ -90,6 +102,8 @@ class CtcScorer(object):
         self.eos = eos
         self.blank = self.V - 1
         self.beam = beam_size
+        self.use_pallas = use_pallas
+        self.interpret = interpret
 
     def init_state(self) -> CtcScoreState:
         gamma_n = jnp.full((self.T, self.beam), MIN_F32)
@@ -107,6 +121,8 @@ class CtcScorer(object):
         Returns (delta_score B x C, new state stacked as B*C for later
         gather via update_var)."""
         B, C = cand.shape
+        if self.use_pallas:
+            return self._call_fused(state, last_tok, cand, is_first)
         # log p(t, cand): T x B x C
         p_c = self.logp[:, cand]
         p_blank = self.logp[:, self.blank]
@@ -141,6 +157,29 @@ class CtcScorer(object):
         new_state = CtcScoreState(flat(gamma_n_h), flat(gamma_b_h),
                                   score.reshape(B * C))
         return delta, new_state
+
+    def _call_fused(self, state: CtcScoreState, last_tok: jnp.ndarray,
+                    cand: jnp.ndarray, is_first) -> Tuple[jnp.ndarray,
+                                                          CtcScoreState]:
+        """One fused Pallas kernel per step, flat (T, B*C) layout
+        throughout — no T x B x C intermediates (their 12-wide minor dim
+        tiles to 128 lanes, making every reshape a physical relayout)."""
+        from aps_tpu.ops.pallas.ctc_score import ctc_score_step
+        B, C = cand.shape
+        cf = cand.reshape(-1)
+        f32 = jnp.float32
+        gamma_n, gamma_b, score, delta = ctc_score_step(
+            self.logp[:, cf],
+            jnp.repeat(state.gamma_n, C, axis=1),
+            jnp.repeat(state.gamma_b, C, axis=1),
+            self.logp[:, self.blank:self.blank + 1],
+            (jnp.repeat(last_tok, C) != cf).astype(f32)[None],
+            (cf == self.eos).astype(f32)[None],
+            jnp.repeat(state.score, C)[None],
+            jnp.asarray(is_first, f32).reshape(1, 1),
+            interpret=self.interpret)
+        new_state = CtcScoreState(gamma_n, gamma_b, score[0])
+        return delta.reshape(B, C), new_state
 
     def update_var(self, state: CtcScoreState,
                    flat_index: jnp.ndarray) -> CtcScoreState:

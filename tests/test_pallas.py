@@ -198,3 +198,36 @@ def test_tcn_fused_eval_matches_apply(rng, mc):
                    "dropout": jax.random.PRNGKey(1)},
                   jnp.zeros((1, 4000)), training=False)
     assert gln.make_fused_eval(v2) is None
+
+
+def test_ctc_score_step_fused_matches_portable(rng):
+    """The fused Pallas CTC prefix-scorer step (interpret mode) must match
+    the portable XLA path over a multi-step beam loop incl. update_var
+    gathers, eos candidates and repeated tokens."""
+    from aps_tpu.asr.beam_search.ctc import CtcScorer
+
+    T, vocab, B, C = 45, 10, 3, 4  # T not a multiple of the 32-frame block
+    eos = 1
+    logits = jnp.asarray(rng.standard_normal((T, vocab)), dtype=jnp.float32)
+    ref = CtcScorer(logits, eos=eos, beam_size=B, use_pallas=False)
+    fus = CtcScorer(logits, eos=eos, beam_size=B, use_pallas=True,
+                    interpret=True)
+    s_ref, s_fus = ref.init_state(), fus.init_state()
+    last = jnp.zeros((B,), dtype=jnp.int32)
+    for step in range(4):
+        cand = jnp.asarray(
+            rng.integers(0, vocab - 1, size=(B, C)), dtype=jnp.int32)
+        if step == 2:  # force eos + repeat lanes
+            cand = cand.at[0, 0].set(eos).at[1, 1].set(last[1])
+        d_ref, n_ref = ref(s_ref, last, cand, step == 0)
+        d_fus, n_fus = fus(s_fus, last, cand, step == 0)
+        np.testing.assert_allclose(np.asarray(d_fus), np.asarray(d_ref),
+                                   atol=2e-5)
+        for a, b in zip(n_fus, n_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+        keep = jnp.asarray(rng.integers(0, B * C, size=(B,)),
+                           dtype=jnp.int32)
+        s_ref, s_fus = ref.update_var(n_ref, keep), fus.update_var(
+            n_fus, keep)
+        last = cand.reshape(-1)[keep]

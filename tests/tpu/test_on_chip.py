@@ -357,3 +357,33 @@ def test_fused_tcn_inference_compiled(rng):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b).astype(np.float32) / scale,
                                    atol=5e-2)
+
+
+def test_ctc_score_fused_compiled(rng):
+    """Fused Pallas CTC prefix-scorer step (compiled, opt-in) vs the
+    portable XLA path on the same chip, over a multi-step loop with beam
+    gathers. The kernel is measured perf-neutral in the batched search
+    (see ctc.py docstring) and is NOT the default — this test keeps the
+    opt-in numerically honest on real hardware."""
+    from aps_tpu.asr.beam_search.ctc import CtcScorer
+    T, V, B, C = 100, 512, 8, 12
+    eos = V - 2
+    logits = jnp.asarray(rng.standard_normal((T, V)), dtype=jnp.float32)
+    ref = CtcScorer(logits, eos=eos, beam_size=B, use_pallas=False)
+    fus = CtcScorer(logits, eos=eos, beam_size=B, use_pallas=True)
+    s_ref, s_fus = ref.init_state(), fus.init_state()
+    last = jnp.zeros((B,), dtype=jnp.int32)
+    for step in range(3):
+        cand = jnp.asarray(rng.integers(0, V - 1, size=(B, C)),
+                           dtype=jnp.int32)
+        if step == 1:
+            cand = cand.at[0, 0].set(eos).at[1, 1].set(last[1])
+        d_ref, n_ref = ref(s_ref, last, cand, step == 0)
+        d_fus, n_fus = fus(s_fus, last, cand, step == 0)
+        np.testing.assert_allclose(np.asarray(d_fus), np.asarray(d_ref),
+                                   atol=1e-4)
+        keep = jnp.asarray(rng.integers(0, B * C, size=(B,)),
+                           dtype=jnp.int32)
+        s_ref, s_fus = ref.update_var(n_ref, keep), fus.update_var(
+            n_fus, keep)
+        last = cand.reshape(-1)[keep]
