@@ -123,10 +123,16 @@ class CtcScorer(object):
         B, C = cand.shape
         if self.use_pallas:
             return self._call_fused(state, last_tok, cand, is_first)
-        # log p(t, cand): T x B x C
-        p_c = self.logp[:, cand]
+        # Everything runs in a flat (T, L = B*C) layout: T x B x C
+        # intermediates would tile their 12-wide minor dim to 128 lanes
+        # (~9% utilization + a physical relayout on every reshape), while
+        # T x L fills 96+ of 128 lanes and the final state needs no
+        # reshape at all. Measured +6% end-to-end on the batched flagship
+        # decode (1277 vs 1207 RTF, same process, identical transcripts).
+        cf = cand.reshape(-1)
+        p_c = self.logp[:, cf]  # T x L
         p_blank = self.logp[:, self.blank]
-        repeat_ok = last_tok[:, None] != cand  # B x C
+        repeat_ok = jnp.repeat(last_tok, C) != cf  # L
 
         init_n = jnp.where(is_first, p_c[0], MIN_F32)
 
@@ -136,27 +142,27 @@ class CtcScorer(object):
         #   b_t   = logaddexp(b_{t-1} + p_blank[t], n_{t-1} + p_blank[t])
         # are log-linear in t and solved blockwise (see
         # _blocked_log_linear_rec) instead of a T-step sequential scan.
-        term = jnp.where(repeat_ok[None], state.gamma_n[:-1, :, None],
-                         MIN_F32)
-        phi = jnp.logaddexp(state.gamma_b[:-1, :, None], term)  # T-1,B,C
+        gn = jnp.repeat(state.gamma_n, C, axis=1)  # T x L (broadcast)
+        gb = jnp.repeat(state.gamma_b, C, axis=1)
+        term = jnp.where(repeat_ok[None], gn[:-1], MIN_F32)
+        phi = jnp.logaddexp(gb[:-1], term)  # (T-1) x L
 
         a = jnp.concatenate([init_n[None], phi + p_c[1:]], axis=0)
         gamma_n_h = _blocked_log_linear_rec(a, p_c)
         q = jnp.concatenate([jnp.zeros((1,)), p_blank[1:]], axis=0)
         w_b = jnp.concatenate([
-            jnp.full((1, B, C), MIN_F32),
-            gamma_n_h[:-1] + p_blank[1:, None, None]
+            jnp.full((1, B * C), MIN_F32),
+            gamma_n_h[:-1] + p_blank[1:, None]
         ], axis=0)
-        gamma_b_h = _blocked_log_linear_rec(w_b, q[:, None, None])
+        gamma_b_h = _blocked_log_linear_rec(w_b, q[:, None])
         score = jnp.maximum(jax.nn.logsumexp(a, axis=0), MIN_F32)
         # eos candidates: score = full-prefix probability
         full_prefix = jnp.logaddexp(state.gamma_b[-1], state.gamma_n[-1])
-        score = jnp.where(cand == self.eos, full_prefix[:, None], score)
-        delta = score - state.score[:, None]
-        flat = lambda x: x.reshape(self.T, B * C)
-        new_state = CtcScoreState(flat(gamma_n_h), flat(gamma_b_h),
-                                  score.reshape(B * C))
-        return delta, new_state
+        score = jnp.where(cf == self.eos, jnp.repeat(full_prefix, C),
+                          score)
+        delta = score - jnp.repeat(state.score, C)
+        new_state = CtcScoreState(gamma_n_h, gamma_b_h, score)
+        return delta.reshape(B, C), new_state
 
     def _call_fused(self, state: CtcScoreState, last_tok: jnp.ndarray,
                     cand: jnp.ndarray, is_first) -> Tuple[jnp.ndarray,
