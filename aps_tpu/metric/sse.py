@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""SSE metrics: SiSNR / SNR (numpy) + PESQ/STOI/SDR (optional deps, gated).
+"""SSE metrics: SiSNR / SNR (numpy), STOI and BSS-eval SDR (built-in
+implementations, optional packages used when installed) and PESQ (gated
+on the optional pypesq package).
 
 Parity surface: /root/reference/aps/metric/sse.py (aps_sisnr:16, aps_pesq:43,
 aps_stoi:50, permute_sse_metric:95)."""
@@ -45,9 +47,12 @@ def aps_pesq(ref: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
 def aps_stoi(ref: np.ndarray, est: np.ndarray, fs: int = 16000) -> float:
     try:
         from pystoi import stoi
-    except ImportError as e:
-        raise ImportError("STOI requires the 'pystoi' package") from e
-    return stoi(ref, est, fs_sig=fs)
+        return stoi(ref, est, fs_sig=fs)
+    except ImportError:
+        # built-in implementation (same algorithm + constants; see
+        # aps_tpu/metric/stoi.py) — no optional package needed
+        from aps_tpu.metric.stoi import stoi
+        return stoi(ref, est, fs=fs)
 
 
 def _permute_eval(eval_func: Callable, ref, est,

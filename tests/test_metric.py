@@ -139,3 +139,55 @@ ngram 2=3
     want = (-0.1 + (-0.2 - 0.6) + (-0.2 - 1.2)) * math.log(10)
     got = lm.score([0, 0])
     assert abs(got - want) < 1e-6, (got, want)
+
+
+def test_builtin_stoi():
+    """The built-in STOI: a clean (modulated, speech-like) reference
+    scores ~1 against itself, degrades monotonically with added noise,
+    and routes through aps_stoi / permute_sse_metric."""
+    import numpy as np
+
+    from aps_tpu.metric.sse import aps_stoi, permute_sse_metric
+    rng = np.random.default_rng(7)
+    fs, dur = 16000, 3.0
+    t = np.arange(int(fs * dur)) / fs
+    # speech-like toy: broadband noise with 4 Hz energy modulation (all
+    # 15 one-third-octave bands carry signal, unlike a pure-tone mix)
+    x = rng.standard_normal(t.size) * (0.6 + 0.4 * np.sin(2 * np.pi * 4 * t))
+    assert aps_stoi(x, x, fs=fs) > 0.99
+    noise = rng.standard_normal(x.size)
+    noise *= np.linalg.norm(x) / np.linalg.norm(noise)
+    scores = [aps_stoi(x, x + noise * 10**(-snr / 20), fs=fs)
+              for snr in (20, 5, -10)]
+    assert scores[0] > scores[1] > scores[2], scores
+    assert scores[0] > 0.9 and scores[2] < 0.7, scores
+    # dispatch via the permuted-metric entry point
+    s = permute_sse_metric("stoi", x, x + noise * 10**(-5 / 20), fs=fs)
+    assert abs(s - scores[1]) < 1e-9
+
+
+def test_builtin_bpe_tokenizer(tmp_path):
+    """Built-in BPE: training learns frequent merges, encode/decode
+    round-trips, JSON save/load preserves behavior, and the registered
+    subword tokenizer uses the JSON backend transparently."""
+    from aps_tpu.libs import aps_tokenizer
+    from aps_tpu.tokenizer.bpe import BpeModel, train_bpe
+
+    corpus = ["the cat sat on the mat",
+              "the dog sat on the log",
+              "cats and dogs and mats"] * 10
+    mdl = train_bpe(corpus, vocab_size=60)
+    assert len(mdl.merges) > 0
+    pieces = mdl.encode("the cat sat")
+    assert mdl.decode(pieces) == "the cat sat"
+    # frequent word "the" becomes a single ▁-marked piece
+    assert mdl.encode_word("the") == ["▁the"]
+    path = str(tmp_path / "bpe.json")
+    mdl.save(path)
+    again = BpeModel.load(path)
+    assert again.encode("dogs on the mat") == mdl.encode("dogs on the mat")
+    tok = aps_tokenizer("subword")(spm=path)
+    enc = tok.encode(["the", "cat", "sat"])
+    assert tok.decode(enc) == ["the", "cat", "sat"]
+    # unseen characters map to the <unk> surface (sentencepiece parity)
+    assert "<unk>" in tok.encode("zebra+7")
