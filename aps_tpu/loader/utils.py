@@ -159,8 +159,16 @@ class BatchSampler(object):
 
 class SimpleDataLoader(object):
     """Map batches of dataset items through a collate function, optionally
-    prefetching in a background thread (keeps the TPU fed while the host
-    decodes audio)."""
+    prefetching with a worker pool (keeps the TPU fed while the host
+    decodes/simulates audio).
+
+    num_workers <= 0 runs inline; 1 uses a single background prefetch
+    thread; >= 2 builds batches concurrently on a thread pool while
+    preserving batch order (a bounded window of in-flight futures).
+    Threads — not processes — are the right pool here: the hot host work
+    (audio decode, fftconvolve RIRs, np.pad/stack collate) releases the
+    GIL, and thread workers share the dataset/sampler state that
+    process workers would have to re-pickle every epoch."""
 
     def __init__(self,
                  dataset,
@@ -181,14 +189,39 @@ class SimpleDataLoader(object):
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _build(self, batch_indices):
+        return self.collate_fn([self.dataset[i] for i in batch_indices])
+
     def _produce(self):
         for batch_indices in self.sampler:
-            yield self.collate_fn(
-                [self.dataset[i] for i in batch_indices])
+            yield self._build(batch_indices)
+
+    def _iter_pool(self):
+        """Ordered pipeline over a thread pool: up to num_workers batches
+        build concurrently, at most num_workers + prefetch in flight."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        window = self.num_workers + self.prefetch
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            pending = deque()
+            it = iter(self.sampler)
+            try:
+                for batch_indices in it:
+                    pending.append(ex.submit(self._build, batch_indices))
+                    if len(pending) >= window:
+                        yield pending.popleft().result()
+                while pending:
+                    yield pending.popleft().result()
+            finally:
+                for f in pending:  # consumer bailed early / worker raised
+                    f.cancel()
 
     def __iter__(self):
         if self.num_workers <= 0:
             yield from self._produce()
+            return
+        if self.num_workers >= 2:
+            yield from self._iter_pool()
             return
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

@@ -95,9 +95,11 @@ def sse_workspace(tmp_path_factory):
 def test_train_ss_and_separate(sse_workspace, tmp_path):
     root, conf_path = sse_workspace
     cpt = tmp_path / "exp"
+    # num-workers 3 routes through the ordered thread-pool prefetcher
+    # (order-preserving, so training is bit-identical to inline loading)
     run_cmd(["cmd/train_ss.py", "--conf", str(conf_path),
              "--checkpoint", str(cpt), "--batch-size", "4",
-             "--epochs", "2", "--num-workers", "0"])
+             "--epochs", "2", "--num-workers", "3"])
     assert (cpt / "best.ckpt").exists()
     assert (cpt / "train.yaml").exists()
     # separation inference

@@ -315,3 +315,33 @@ def test_am_kaldi_loader_compressed(tmp_path, rng):
     egs = batches[0]
     assert egs["src_pad"].ndim == 3 and egs["src_pad"].shape[-1] == 13
     assert np.isfinite(egs["src_pad"]).all()
+
+
+@pytest.mark.parametrize("num_workers", [1, 2, 4])
+def test_loader_worker_pool_ordered(num_workers):
+    """The prefetching loader must yield the same batches in the same
+    order for every worker count, and propagate worker exceptions."""
+    import time
+
+    from aps_tpu.loader.utils import SimpleDataLoader
+
+    data = list(range(37))
+    batches = [list(range(i, min(i + 5, 37))) for i in range(0, 37, 5)]
+
+    def collate(items):
+        time.sleep(0.001 * (items[0] % 3))  # jitter completion order
+        return [v * 2 for v in items]
+
+    ref = list(SimpleDataLoader(data, batches, collate, num_workers=0))
+    got = list(SimpleDataLoader(data, batches, collate,
+                                num_workers=num_workers))
+    assert got == ref
+
+    def bad_collate(items):
+        if items[0] >= 20:
+            raise RuntimeError("boom")
+        return items
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(SimpleDataLoader(data, batches, bad_collate,
+                              num_workers=num_workers))
