@@ -24,7 +24,8 @@ from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
                                            apply_eos_threshold, disable_unk,
                                            extract_nbest, init_beam_state,
                                            mask_finished_scores,
-                                           stack_padded, topk_candidates)
+                                           pad_enc_frames, stack_padded,
+                                           topk_candidates)
 from aps_tpu.const import MIN_F32
 
 
@@ -57,10 +58,23 @@ def beam_search(nnet,
     if max_len <= 0:
         max_len = min(param.max_len, T)
     max_len = min(max_len, param.max_len)
-    hyps = _beam_search_impl(nnet, variables, enc_out[0], None,
-                             ctc_out[0] if ctc_out is not None else None,
-                             lm, param, max_len, nbest)
-    return hyps
+    use_ctc = param.ctc_weight > 0 and ctc_out is not None
+    enc_pad, ctc_pad, T, Tq = pad_enc_frames(
+        enc_out[0], ctc_out[0] if use_ctc else None)
+    key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), max_len,
+           Tq, enc_pad.shape[-1], use_ctc)
+
+    def _build():
+        def _run(variables, enc, el, ctc):
+            return _search_core(nnet, variables, enc, el, ctc, lm, param,
+                                max_len)
+
+        return jax.jit(_run)
+
+    step = _SINGLE_EXECUTABLES.get(key, _build)
+    final_state = step(variables, enc_pad, jnp.asarray(T), ctc_pad)
+    return extract_nbest(jax.device_get(final_state), param, nbest,
+                         final=True)
 
 
 def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs) -> List[Dict]:
@@ -68,16 +82,6 @@ def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs) -> List[Dict]:
     kwargs.pop("nbest", None)
     return beam_search(nnet, variables, x, sos=sos, eos=eos, beam_size=1,
                        nbest=1, **kwargs)
-
-
-def _beam_search_impl(nnet, variables, enc_out, enc_len, ctc_out, lm,
-                      param: BeamSearchParam, max_len: int,
-                      nbest: int) -> List[Dict]:
-    """enc_out: T x D single utterance."""
-    final_state = _search_core(nnet, variables, enc_out, enc_len, ctc_out,
-                               lm, param, max_len)
-    return extract_nbest(jax.device_get(final_state), param, nbest,
-                         final=True)
 
 
 def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
@@ -196,6 +200,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
 
 # jitted batched-search executables, keyed by (model, search knobs, shapes)
 _BATCH_EXECUTABLES = ExecutableCache(maxsize=32)
+# single-utterance searches, one executable per (model, knobs, bucket)
+_SINGLE_EXECUTABLES = ExecutableCache(maxsize=32)
 
 
 def beam_search_batch(nnet, variables, batch: List,

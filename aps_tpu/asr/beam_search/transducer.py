@@ -19,7 +19,7 @@ import numpy as np
 
 from aps_tpu.asr.beam_search.lm import LmAdapter, RnnLmAdapter
 from aps_tpu.asr.beam_search.utils import (ExecutableCache, jit_apply,
-                                           stack_padded)
+                                           pad_enc_frames, stack_padded)
 from aps_tpu.const import MIN_F32
 
 
@@ -190,8 +190,19 @@ def beam_search(nnet,
     """Single-utterance transducer beam search. x: S or Ti x F."""
     enc_out, enc_len = jit_apply(nnet, variables, x[None],
                                  method="decode_enc")
-    final = _search_core(nnet, variables, enc_out[0], None, lm, lm_weight,
-                         beam_size)
+    enc_pad, _, T, Tq = pad_enc_frames(enc_out[0])
+    key = (id(nnet), id(lm), lm_weight, beam_size, Tq,
+           enc_pad.shape[-1])
+
+    def _build():
+        def _run(variables, enc, el):
+            return _search_core(nnet, variables, enc, el, lm, lm_weight,
+                                beam_size)
+
+        return jax.jit(_run)
+
+    step = _SINGLE_EXECUTABLES.get(key, _build)
+    final = step(variables, enc_pad, jnp.asarray(T))
     return _extract(jax.device_get(final), nnet.blank, nbest, len_norm)
 
 
@@ -203,6 +214,8 @@ def greedy_search(nnet, variables, x, **kwargs) -> List[Dict]:
 
 # jitted batched-search executables, keyed by (model, knobs, shapes)
 _BATCH_EXECUTABLES = ExecutableCache(maxsize=32)
+# single-utterance searches, one executable per (model, knobs, bucket)
+_SINGLE_EXECUTABLES = ExecutableCache(maxsize=32)
 
 
 def beam_search_batch(nnet, variables, batch: List,

@@ -23,7 +23,8 @@ from aps_tpu.asr.beam_search.utils import (BeamSearchParam, BeamState,
                                            apply_eos_threshold, disable_unk,
                                            extract_nbest, init_beam_state,
                                            mask_finished_scores,
-                                           stack_padded, topk_candidates)
+                                           pad_enc_frames, stack_padded,
+                                           topk_candidates)
 from aps_tpu.const import MIN_F32
 
 
@@ -51,9 +52,21 @@ def beam_search(nnet,
     if max_len <= 0:
         max_len = min(param.max_len, T)
     max_len = min(max_len, param.max_len)
-    final_state = _search_core(nnet, variables, enc_out[0], None,
-                               ctc_out[0] if ctc_out is not None else None,
-                               lm, param, max_len)
+    use_ctc = param.ctc_weight > 0 and ctc_out is not None
+    enc_pad, ctc_pad, T, Tq = pad_enc_frames(
+        enc_out[0], ctc_out[0] if use_ctc else None)
+    key = (id(nnet), id(lm), tuple(sorted(vars(param).items())), max_len,
+           Tq, enc_pad.shape[-1], use_ctc)
+
+    def _build():
+        def _run(variables, enc, el, ctc):
+            return _search_core(nnet, variables, enc, el, ctc, lm, param,
+                                max_len)
+
+        return jax.jit(_run)
+
+    step = _SINGLE_EXECUTABLES.get(key, _build)
+    final_state = step(variables, enc_pad, jnp.asarray(T), ctc_pad)
     return extract_nbest(jax.device_get(final_state), param, nbest,
                          final=True)
 
@@ -196,6 +209,8 @@ def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs):
 
 # jitted batched-search executables, keyed by (model, search knobs, shapes)
 _BATCH_EXECUTABLES = ExecutableCache(maxsize=32)
+# single-utterance searches, one executable per (model, knobs, bucket)
+_SINGLE_EXECUTABLES = ExecutableCache(maxsize=32)
 
 
 def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,

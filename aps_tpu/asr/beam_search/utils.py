@@ -213,3 +213,29 @@ def stack_padded(batch: List, pad_to: int = -1):
                 for x, l in zip(batch, lens)
             ]))
     return x_pad, lens, S
+
+
+SINGLE_BUCKET = 32  # encoder-frame grid for the single-utterance caches
+
+
+def pad_enc_frames(enc_out, ctc_out=None, bucket: int = SINGLE_BUCKET):
+    """Pad a T x D encoder output (and optional T x V CTC logits) up to a
+    frame bucket so the single-utterance search compiles once per bucket
+    instead of once per length (the per-utterance CLI decode used to
+    retrace its whole search for EVERY utterance). Returns
+    (enc_pad, ctc_pad, T, Tq). Padded CTC rows are blank-certain
+    (logit 0 on the appended blank = V - 1, -1e9 elsewhere) so prefix
+    scores are bit-unchanged; padded encoder rows are masked downstream
+    via enc_len — the same scheme the batched search uses."""
+    T = enc_out.shape[0]
+    Tq = -(-T // bucket) * bucket
+    if Tq == T:
+        return enc_out, ctc_out, T, Tq
+    enc_pad = jnp.pad(enc_out, ((0, Tq - T), (0, 0)))
+    ctc_pad = None
+    if ctc_out is not None:
+        V = ctc_out.shape[-1]
+        row = jnp.full((V,), -1e9).at[V - 1].set(0.0)
+        ctc_pad = jnp.concatenate(
+            [ctc_out, jnp.tile(row[None], (Tq - T, 1))], axis=0)
+    return enc_pad, ctc_pad, T, Tq

@@ -404,3 +404,30 @@ def test_beam_with_xfmr_lm(att_model):
                                 beam_size=4, nbest=2, max_len=12,
                                 allow_partial=True)
     assert batched[0][0]["trans"] == hyp[0]["trans"]
+
+
+def test_single_search_cached_padded_matches_unpadded(xfmr_model):
+    """beam_search now pads encoder frames to a 32-frame bucket and runs
+    a cached executable (no per-utterance retrace); the result must be
+    identical to the direct unpadded search core."""
+    from aps_tpu.asr.beam_search import transformer as api
+    nnet, variables, x = xfmr_model
+    kwargs = dict(sos=SOS, eos=EOS, beam_size=4, nbest=2, max_len=12,
+                  ctc_weight=0.3, allow_partial=True)
+    hyps = api.beam_search(nnet, variables, x, **kwargs)
+    # ground truth: unpadded eager core on the same encoder output
+    enc_out, _, ctc_out = api.jit_apply(nnet, variables, x[None],
+                                        method="decode_enc")
+    assert enc_out.shape[1] % 32 != 0, "fixture no longer pads; adjust"
+    param = api._param_from_kwargs(SOS, EOS, beam_size=4, ctc_weight=0.3,
+                                   allow_partial=True)
+    final = api._search_core(nnet, variables, enc_out[0], None,
+                             ctc_out[0], None, param, 12)
+    from aps_tpu.asr.beam_search.utils import extract_nbest
+    ref = extract_nbest(jax.device_get(final), param, 2, final=True)
+    assert [h["trans"] for h in hyps] == [h["trans"] for h in ref]
+    np.testing.assert_allclose([h["score"] for h in hyps],
+                               [h["score"] for h in ref], rtol=1e-5)
+    # second call hits the executable cache (same bucket)
+    again = api.beam_search(nnet, variables, x, **kwargs)
+    assert [h["trans"] for h in again] == [h["trans"] for h in hyps]
