@@ -1,8 +1,9 @@
 from aps_tpu.parallel.mesh import (build_mesh, data_sharding,
                                    fit_batch_to_mesh, replicate_sharding,
-                                   shard_egs, tp_param_shardings)
+                                   seq_sharding, shard_egs,
+                                   tp_param_shardings)
 
 __all__ = [
     "build_mesh", "data_sharding", "fit_batch_to_mesh",
-    "replicate_sharding", "shard_egs", "tp_param_shardings"
+    "replicate_sharding", "seq_sharding", "shard_egs", "tp_param_shardings"
 ]

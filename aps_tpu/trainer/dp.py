@@ -27,7 +27,8 @@ import optax
 from aps_tpu.const import OOM_STRING
 from aps_tpu.libs import ApsRegisters
 from aps_tpu.parallel import (build_mesh, data_sharding, fit_batch_to_mesh,
-                              replicate_sharding, tp_param_shardings)
+                              replicate_sharding, seq_sharding,
+                              tp_param_shardings)
 from aps_tpu.trainer.base import Trainer
 
 OPTIMIZERS = {
@@ -55,10 +56,15 @@ RNG_COLLECTIONS = ("aug", "dropout", "ss")
 @ApsRegisters.trainer.register("dp")
 class DataParallelTrainer(Trainer):
 
-    def __init__(self, task, tensor_parallel: int = 1, devices=None,
+    def __init__(self, task, tensor_parallel: int = 1,
+                 sequence_parallel: bool = False, devices=None,
                  **kwargs):
         super(DataParallelTrainer, self).__init__(task, **kwargs)
         self.tensor_parallel = tensor_parallel
+        # SP shards the TIME axis of acoustic inputs over the "model" axis
+        # (see parallel.seq_sharding); only meaningful with
+        # tensor_parallel > 1, where the model axis exists to split over
+        self.sequence_parallel = sequence_parallel and tensor_parallel > 1
         self.mesh = build_mesh(devices=devices, model=tensor_parallel)
         self.ndev = self.mesh.devices.size
         self.params = None
@@ -95,13 +101,24 @@ class DataParallelTrainer(Trainer):
         utterance, so uneven dev batches replicate instead."""
         if train:
             egs = fit_batch_to_mesh(egs, self.ndev)
+        sp = self.mesh.shape["model"] if self.sequence_parallel else 0
         out = {}
         for k, v in egs.items():
             if isinstance(v, (np.ndarray, jax.Array)) and getattr(
                     v, "ndim", 0) > 0:
                 if v.shape[0] % self.ndev == 0:
-                    out[k] = jax.device_put(v, data_sharding(self.mesh,
-                                                             v.ndim))
+                    # SP: float arrays of rank >= 2 are acoustic inputs
+                    # (wavs N x S, features N x T x F) — shard their time
+                    # axis over "model" too when it divides; int arrays
+                    # (token ids, lengths) stay batch-sharded only
+                    if sp > 1 and v.ndim >= 2 and \
+                            np.issubdtype(v.dtype, np.floating) and \
+                            v.shape[1] % sp == 0:
+                        out[k] = jax.device_put(
+                            v, seq_sharding(self.mesh, v.ndim))
+                    else:
+                        out[k] = jax.device_put(
+                            v, data_sharding(self.mesh, v.ndim))
                 else:
                     out[k] = jax.device_put(v, replicate_sharding(self.mesh))
             elif isinstance(v, (int, float, np.integer, np.floating)):

@@ -378,3 +378,31 @@ def test_trainer_tensor_parallel_resume(tmp_path):
                 f"optimizer moment {leaf.shape} lost its TP sharding"
     # and training continues from the restored state
     resumed.run(loader, loader, num_epochs=2)
+
+
+def test_trainer_sequence_parallel_matches_single(tmp_path):
+    """DP x TP mesh with sequence_parallel=True: acoustic inputs shard
+    their time axis over "model" (GSPMD propagates the split through the
+    STFT front-end); per-step losses must equal a 1-device run exactly —
+    SP changes layout, never math."""
+    import jax
+    losses = {}
+    for tag, kw in (("sp", dict(tensor_parallel=2,
+                                sequence_parallel=True)),
+                    ("single", dict(devices=jax.devices()[:1]))):
+        task = build_task()
+        trainer = make_trainer(tmp_path / tag, task, **kw)
+        loader = SyntheticSSELoader(num_batches=3, batch=8)
+        if tag == "sp":
+            assert trainer.sequence_parallel
+            egs = trainer._device_egs(
+                trainer.prep_egs(next(iter(loader))))
+            spec = egs["mix"].sharding.spec
+            assert tuple(spec) == ("data", "model"), spec
+        trainer.init_state(trainer.prep_egs(next(iter(loader))))
+        out = []
+        for egs in loader:
+            trainer.train_one_step(trainer.prep_egs(egs))
+            out.append(float(trainer.reporter.stats["loss"][-1]))
+        losses[tag] = out
+    np.testing.assert_allclose(losses["sp"], losses["single"], rtol=2e-4)
