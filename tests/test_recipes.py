@@ -105,3 +105,38 @@ def test_recipe_dirs_complete():
         if not os.path.exists(os.path.join(d, "run.sh")):
             missing.append(f"{_rel(d)}: no run.sh")
     assert not missing, missing
+
+
+def test_recipe_conf_keys_documented():
+    """docs/instruction.md claims every nnet_conf / task_conf / trainer_conf
+    key used by the recipes is documented (parity with the reference's
+    341-line per-model option manual). Enforce it mechanically: collect
+    every mapping key (recursively, incl. enc_kwargs/arch_kwargs nests)
+    from those sections of all recipe YAMLs and require each to appear in
+    the doc text."""
+    import yaml as _yaml
+    with open(os.path.join(REPO, "docs", "instruction.md")) as fd:
+        doc = fd.read()
+
+    def walk_keys(node, out):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                out.add(str(k))
+                walk_keys(v, out)
+        elif isinstance(node, list):
+            for v in node:
+                walk_keys(v, out)
+
+    undocumented = {}
+    for p in ASR_CONFS + LM_CONFS + SSE_CONFS:
+        with open(p) as fd:
+            conf = _yaml.safe_load(fd)
+        keys = set()
+        for section in ("nnet_conf", "task_conf", "trainer_conf",
+                        "asr_transform", "enh_transform"):
+            walk_keys(conf.get(section, {}), keys)
+        missing = {k for k in keys if k not in doc}
+        if missing:
+            undocumented[_rel(p)] = sorted(missing)
+    assert not undocumented, \
+        f"conf keys missing from docs/instruction.md: {undocumented}"
