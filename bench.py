@@ -310,21 +310,52 @@ def main():
     import os
     import subprocess
     import sys
+
+    # the bench chip sits behind a network tunnel that can be down for
+    # hours (jax.devices() then blocks forever inside the plugin): probe
+    # reachability in a bounded subprocess first so an outage yields a
+    # fast, well-formed error JSON instead of a 3000 s hang per metric
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300)
+        reachable = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        reachable = False
+    if not reachable:
+        print(json.dumps({
+            "metric": "conformer_aed_batched_decode_rtf", "value": 0.0,
+            "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": "device backend unreachable (TPU tunnel down?); "
+                     "no measurement taken"
+        }))
+        return
+
     results = {}
     for name in ("decode", "train", "separate"):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--metric", name],
-            capture_output=True, text=True, timeout=3000)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--metric", name],
+                capture_output=True, text=True, timeout=3000)
+            rc, stdout, stderr = proc.returncode, proc.stdout, proc.stderr
+        except subprocess.TimeoutExpired as exc:
+            rc, stdout = -1, ""
+            stderr = f"timeout after {exc.timeout}s"
         line = ""
-        for ln in reversed(proc.stdout.strip().splitlines()):
+        for ln in reversed((stdout or "").strip().splitlines()):
             if ln.startswith("{"):
                 line = ln
                 break
-        if proc.returncode == 0 and line:
+        if rc == 0 and line:
             results[name] = json.loads(line)
         else:
-            results[name] = {"metric": name,
-                             "error": (proc.stderr or "no output")[-200:]}
+            # keep the driver schema (value/unit/vs_baseline) even on
+            # failure so the ONE output line always parses
+            results[name] = {"metric": name, "value": 0.0,
+                             "unit": "x_realtime", "vs_baseline": 0.0,
+                             "error": (stderr or "no output")[-200:]}
     result = results["decode"]
     result["extra"] = [results["train"], results["separate"]]
     print(json.dumps(result))
