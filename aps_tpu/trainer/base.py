@@ -434,6 +434,11 @@ class Trainer(object):
     def prep_egs(self, egs: Dict) -> Dict:
         return egs
 
+    def drain(self) -> bool:
+        """Block on any in-flight pipelined train steps (overridden by
+        trainers that keep steps in flight); True when all succeeded."""
+        return True
+
     def valid_epoch(self, data_loader) -> None:
         self.reporter.eval()
         for egs in data_loader:
@@ -467,6 +472,12 @@ class Trainer(object):
             self.cur_step += 1
             if self.lr_scheduler_period == "step":
                 self.lr_scheduler.step()
+        # sync in-flight pipelined steps so epoch stats are complete and a
+        # trailing failure still reaches the circuit breaker
+        if self.detector.step(self.drain()):
+            raise RuntimeError(
+                f"Stop training: detected {self.detector.counter} "
+                "consecutive errors")
 
     def _schedule_end_of_eval(self, update_value: float,
                               reports: Dict) -> bool:
@@ -558,6 +569,7 @@ class Trainer(object):
                 if self.lr_scheduler_period == "step":
                     self.lr_scheduler.step()
                 if self.cur_step % eval_interval == 0:
+                    self.drain()
                     _, logstr = self.reporter.report(
                         self.cur_epoch, self.lr_scheduler.get_lr())
                     self.reporter.log(logstr)
@@ -566,3 +578,4 @@ class Trainer(object):
                         stop = True
                         break
                     self.reporter.train()
+            self.drain()

@@ -16,6 +16,7 @@ Mechanics:
   * batches whose size divides the mesh are sharded, others replicated
 """
 
+from collections import deque
 from functools import partial
 from typing import Dict, Optional
 
@@ -58,9 +59,21 @@ class DataParallelTrainer(Trainer):
 
     def __init__(self, task, tensor_parallel: int = 1,
                  sequence_parallel: bool = False, devices=None,
-                 **kwargs):
+                 pipeline_depth: int = 1, **kwargs):
         super(DataParallelTrainer, self).__init__(task, **kwargs)
         self.tensor_parallel = tensor_parallel
+        # pipelined step sync: keep up to pipeline_depth steps in flight
+        # before blocking on their on-device `finite` flag, so the host
+        # dispatches step N+1 while the device runs step N (hides the
+        # host->device round trip — significant when the chip sits behind
+        # a network tunnel — and keeps the MXU busy during host-side
+        # loader/reporting work). Correctness is unaffected: non-finite
+        # steps are already rolled back ON DEVICE inside train_step; the
+        # host-side flag only feeds logging and the error circuit breaker
+        # (which now sees results pipeline_depth steps late). 0 = block
+        # every step (the reference's synchronous semantics).
+        self.pipeline_depth = max(int(pipeline_depth), 0)
+        self._in_flight = deque()
         # SP shards the TIME axis of acoustic inputs over the "model" axis
         # (see parallel.seq_sharding); only meaningful with
         # tensor_parallel > 1, where the model axis exists to split over
@@ -273,8 +286,7 @@ class DataParallelTrainer(Trainer):
         return (self.cur_step - beg) % max(step, 1) == 0
 
     def train_one_step(self, egs: Dict) -> bool:
-        host, dev = self._split_egs(egs)
-        dev = self._device_egs(dev)
+        host, dev = self._device_split(egs)
         lr = jnp.float32(self.lr_scheduler.get_lr())
         ssr = jnp.float32(self.ssr)
         noise = jnp.float32(1.0 if self._weight_noise_now() else 0.0)
@@ -301,15 +313,41 @@ class DataParallelTrainer(Trainer):
             ]
             self.reporter.log(f"Step {self.cur_step}: device OOM on batch "
                               f"{shapes}, skipped")
+            # flush steps still in flight so reporting stays in dispatch
+            # order before this failure is returned
+            self.drain()
             return False
-        ok = bool(finite)
         stats = dict(stats)
         stats["rate"] = self.lr_scheduler.get_lr()
+        self._in_flight.append((self.cur_step, host, stats, finite))
+        # async dispatch: only block on the oldest step once more than
+        # pipeline_depth results are outstanding — until then report
+        # success optimistically (a non-finite step was already rolled
+        # back on-device; its flag reaches the breaker when drained)
+        if len(self._in_flight) <= self.pipeline_depth:
+            return True
+        return self._sync_oldest()
+
+    def _device_split(self, egs: Dict):
+        host, dev = self._split_egs(egs)
+        return host, self._device_egs(dev)
+
+    def _sync_oldest(self) -> bool:
+        step, host, stats, finite = self._in_flight.popleft()
+        ok = bool(finite)
         self.reporter.update(host)
         self.reporter.update(stats)
         if not ok:
             self.reporter.log(
-                f"Step {self.cur_step}: non-finite loss/grad, skipped")
+                f"Step {step}: non-finite loss/grad, skipped")
+        return ok
+
+    def drain(self) -> bool:
+        """Block on every in-flight step (end of epoch, before eval/
+        checkpoint/stat reads). Returns False if any drained step failed."""
+        ok = True
+        while self._in_flight:
+            ok = self._sync_oldest() and ok
         return ok
 
     def valid_one_step(self, egs: Dict) -> None:

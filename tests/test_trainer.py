@@ -326,6 +326,7 @@ def test_trainer_dp_matches_single_device(tmp_path):
         out = []
         for egs in loader:
             trainer.train_one_step(trainer.prep_egs(egs))
+            trainer.drain()  # sync the pipelined step before reading stats
             out.append(float(trainer.reporter.stats["loss"][-1]))
         losses[tag] = out
     np.testing.assert_allclose(losses["dp8"], losses["single"], rtol=2e-4)
@@ -403,6 +404,32 @@ def test_trainer_sequence_parallel_matches_single(tmp_path):
         out = []
         for egs in loader:
             trainer.train_one_step(trainer.prep_egs(egs))
+            trainer.drain()  # sync the pipelined step before reading stats
             out.append(float(trainer.reporter.stats["loss"][-1]))
         losses[tag] = out
     np.testing.assert_allclose(losses["sp"], losses["single"], rtol=2e-4)
+
+
+def test_trainer_pipelined_sync_matches_blocking(tmp_path):
+    """pipeline_depth=1 (default) keeps one step in flight: the host
+    dispatches step N+1 before blocking on step N's finite flag, so
+    reporter stats lag one step until drain(). The math must be identical
+    to a fully synchronous (pipeline_depth=0) run."""
+    losses = {}
+    for tag, depth in (("pipe", 1), ("sync", 0)):
+        task = build_task()
+        trainer = make_trainer(tmp_path / tag, task, pipeline_depth=depth)
+        loader = SyntheticSSELoader(num_batches=4, batch=8)
+        trainer.init_state(trainer.prep_egs(next(iter(loader))))
+        seen = []
+        for egs in loader:
+            assert trainer.train_one_step(trainer.prep_egs(egs))
+            seen.append(len(trainer.reporter.stats["loss"]))
+        if depth == 1:
+            assert seen == [0, 1, 2, 3], seen
+            assert trainer.drain()
+        else:
+            assert seen == [1, 2, 3, 4], seen
+        assert len(trainer.reporter.stats["loss"]) == 4
+        losses[tag] = [float(v) for v in trainer.reporter.stats["loss"]]
+    np.testing.assert_allclose(losses["pipe"], losses["sync"], rtol=1e-6)
