@@ -405,15 +405,15 @@ class Trainer(object):
         if not self.is_chief:
             return
         stats = self.checkpoint_states(epoch)
-        with open(self.checkpoint / "last.ckpt", "wb") as fd:
-            pickle.dump(stats, fd)
+        # serialize once, write bytes per tag (last/best/epoch.N share the
+        # identical payload — no reason to pickle a ~100 MB tree 3x)
+        blob = pickle.dumps(stats)
+        (self.checkpoint / "last.ckpt").write_bytes(blob)
         if best:
-            with open(self.checkpoint / "best.ckpt", "wb") as fd:
-                pickle.dump(stats, fd)
+            (self.checkpoint / "best.ckpt").write_bytes(blob)
             self.reporter.log(f"Save the best checkpoint: epoch {epoch}")
         if self.save_interval > 0 and epoch % self.save_interval == 0:
-            with open(self.checkpoint / f"epoch.{epoch}.ckpt", "wb") as fd:
-                pickle.dump(stats, fd)
+            (self.checkpoint / f"epoch.{epoch}.ckpt").write_bytes(blob)
 
     # ------------------------------------------------------------------
     # abstract hooks
