@@ -474,3 +474,49 @@ def test_transducer_search_on_chip(rng):
         assert hyps[0]["trans"] == single[0]["trans"]
         np.testing.assert_allclose(hyps[0]["score"], single[0]["score"],
                                    rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------- trainer sync
+def test_pipelined_trainer_on_chip(tmp_path):
+    """The dp trainer's pipelined step sync (pipeline_depth=1) on the real
+    chip: per-step losses must equal the fully synchronous run exactly —
+    pipelining defers only the host-side read of the on-device finite
+    flag, never the math. Also exercises drain() at epoch boundaries on
+    the TPU backend (round 3 trainer feature)."""
+    from aps_tpu.libs import aps_trainer
+
+    def build():
+        transform = EnhTransform(feats="spectrogram-log-cmvn",
+                                 frame_len=512, frame_hop=256)
+        nnet = aps_sse_nnet("sse@base_rnn")(enh_transform=transform,
+                                            input_size=257, num_bins=257,
+                                            num_spks=1, hidden=32,
+                                            num_layers=1,
+                                            training_mode="time")
+        return aps_task("sse@sisnr", nnet, num_spks=1)
+
+    def loader(n=3, batch=4, samples=8192, seed=0):
+        # samples = multiple of the 256 hop so the masked iSTFT output
+        # reconstructs the full reference length
+        rng = np.random.default_rng(seed)
+        return [{
+            "mix": rng.standard_normal((batch, samples)).astype("f4"),
+            "ref": rng.standard_normal((batch, samples)).astype("f4"),
+        } for _ in range(n)]
+
+    losses = {}
+    for tag, depth in (("pipe", 1), ("sync", 0)):
+        trainer = aps_trainer("dp")(
+            build(), checkpoint=str(tmp_path / tag), optimizer="adam",
+            optimizer_kwargs={"lr": 1e-3}, lr_scheduler="reduce_lr",
+            lr_scheduler_kwargs={}, pipeline_depth=depth,
+            prog_interval=100, reduction_tag="#utt")
+        batches = loader()
+        trainer.init_state(trainer.prep_egs(batches[0]))
+        for egs in batches:
+            assert trainer.train_one_step(trainer.prep_egs(egs))
+        assert trainer.drain()
+        losses[tag] = [float(v) for v in trainer.reporter.stats["loss"]]
+        assert len(losses[tag]) == 3
+        assert all(np.isfinite(v) for v in losses[tag])
+    np.testing.assert_allclose(losses["pipe"], losses["sync"], rtol=1e-5)
