@@ -48,17 +48,22 @@ def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
-def seq_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+def seq_sharding(mesh: Mesh, ndim: int, axis: int = 1) -> NamedSharding:
     """Sequence-parallel input sharding: batch over "data" AND the time
-    axis (dim 1: samples of a wav, frames of a feature tensor) over
-    "model". GSPMD propagates the time split through framing/STFT/
-    elementwise/conv front-ends and inserts the collectives where an op
-    genuinely needs cross-shard context (attention, bidirectional RNN
-    scans) — per-chip activation memory of the front-end drops by the
-    model-axis factor. New capability beyond the reference (SURVEY §5
-    long-context: "may optionally add true SP"); requires ndim >= 2."""
-    spec = P("data", "model", *([None] * (ndim - 2)))
-    return NamedSharding(mesh, spec)
+    axis (samples of a wav, frames of a feature tensor — `axis`, default
+    dim 1) over "model". GSPMD propagates the time split through
+    framing/STFT/elementwise/conv front-ends and inserts the collectives
+    where an op genuinely needs cross-shard context (attention,
+    bidirectional RNN scans) — per-chip activation memory of the
+    front-end drops by the model-axis factor. New capability beyond the
+    reference (SURVEY §5 long-context: "may optionally add true SP");
+    requires 1 <= axis < ndim."""
+    if not 1 <= axis < ndim:
+        raise ValueError(f"seq_sharding: axis {axis} out of range "
+                         f"for ndim {ndim}")
+    spec = [None] * ndim
+    spec[0], spec[axis] = "data", "model"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:

@@ -422,7 +422,9 @@ class Trainer(object):
         """Initialize parameters/optimizer from one example batch."""
         raise NotImplementedError
 
-    def train_one_step(self, egs: Dict) -> bool:
+    def train_one_step(self, egs: Dict):
+        """Dispatch one step; returns a list of completed-step results
+        (see DataParallelTrainer.train_one_step)."""
         raise NotImplementedError
 
     def valid_one_step(self, egs: Dict) -> None:
@@ -434,10 +436,20 @@ class Trainer(object):
     def prep_egs(self, egs: Dict) -> Dict:
         return egs
 
-    def drain(self) -> bool:
+    def drain(self):
         """Block on any in-flight pipelined train steps (overridden by
-        trainers that keep steps in flight); True when all succeeded."""
-        return True
+        trainers that keep steps in flight); returns the list of drained
+        step results — empty when nothing was in flight."""
+        return []
+
+    def _breaker(self, results) -> None:
+        """Feed completed-step results to the consecutive-error circuit
+        breaker, one detector event per step."""
+        for succ in results:
+            if self.detector.step(succ):
+                raise RuntimeError(
+                    f"Stop training: detected {self.detector.counter} "
+                    "consecutive errors")
 
     def valid_epoch(self, data_loader) -> None:
         self.reporter.eval()
@@ -464,20 +476,13 @@ class Trainer(object):
         self.reporter.train()
         for egs in data_loader:
             self._profile_tick()
-            succ = self.train_one_step(self.prep_egs(egs))
-            if self.detector.step(succ):
-                raise RuntimeError(
-                    f"Stop training: detected {self.detector.counter} "
-                    "consecutive errors")
+            self._breaker(self.train_one_step(self.prep_egs(egs)))
             self.cur_step += 1
             if self.lr_scheduler_period == "step":
                 self.lr_scheduler.step()
-        # sync in-flight pipelined steps so epoch stats are complete and a
-        # trailing failure still reaches the circuit breaker
-        if self.detector.step(self.drain()):
-            raise RuntimeError(
-                f"Stop training: detected {self.detector.counter} "
-                "consecutive errors")
+        # sync in-flight pipelined steps so epoch stats are complete and
+        # trailing failures still reach the circuit breaker
+        self._breaker(self.drain())
 
     def _schedule_end_of_eval(self, update_value: float,
                               reports: Dict) -> bool:
@@ -560,16 +565,12 @@ class Trainer(object):
             self.reporter.train()
             for egs in trn_loader:
                 self._profile_tick()
-                succ = self.train_one_step(self.prep_egs(egs))
-                if self.detector.step(succ):
-                    raise RuntimeError(
-                        "Stop training: detected "
-                        f"{self.detector.counter} consecutive errors")
+                self._breaker(self.train_one_step(self.prep_egs(egs)))
                 self.cur_step += 1
                 if self.lr_scheduler_period == "step":
                     self.lr_scheduler.step()
                 if self.cur_step % eval_interval == 0:
-                    self.drain()
+                    self._breaker(self.drain())
                     _, logstr = self.reporter.report(
                         self.cur_epoch, self.lr_scheduler.get_lr())
                     self.reporter.log(logstr)
@@ -578,4 +579,4 @@ class Trainer(object):
                         stop = True
                         break
                     self.reporter.train()
-            self.drain()
+            self._breaker(self.drain())

@@ -121,14 +121,20 @@ class DataParallelTrainer(Trainer):
                     v, "ndim", 0) > 0:
                 if v.shape[0] % self.ndev == 0:
                     # SP: float arrays of rank >= 2 are acoustic inputs
-                    # (wavs N x S, features N x T x F) — shard their time
-                    # axis over "model" too when it divides; int arrays
-                    # (token ids, lengths) stay batch-sharded only
+                    # (wavs N x S, N x C x S multi-channel, features
+                    # N x T x F) — shard their time axis over "model" too
+                    # when it divides. The time axis is the LONGEST
+                    # non-batch axis (samples/frames dwarf channel or
+                    # feature dims), so multi-channel wavs shard S, not
+                    # the C channel axis; int arrays (token ids, lengths)
+                    # stay batch-sharded only
+                    t_ax = 1 + int(np.argmax(v.shape[1:])) \
+                        if v.ndim >= 2 else 0
                     if sp > 1 and v.ndim >= 2 and \
                             np.issubdtype(v.dtype, np.floating) and \
-                            v.shape[1] % sp == 0:
+                            v.shape[t_ax] % sp == 0:
                         out[k] = jax.device_put(
-                            v, seq_sharding(self.mesh, v.ndim))
+                            v, seq_sharding(self.mesh, v.ndim, axis=t_ax))
                     else:
                         out[k] = jax.device_put(
                             v, data_sharding(self.mesh, v.ndim))
@@ -291,7 +297,14 @@ class DataParallelTrainer(Trainer):
             return False
         return (self.cur_step - beg) % max(step, 1) == 0
 
-    def train_one_step(self, egs: Dict) -> bool:
+    def train_one_step(self, egs: Dict):
+        """Dispatch one training step; returns the list of COMPLETED step
+        results (possibly empty while the pipeline fills, possibly several
+        after an OOM flush) — the caller feeds each into the error
+        breaker, so deferred failures are counted exactly once each."""
+        # trim BEFORE splitting off host stats so fit_batch_to_mesh's
+        # #utt/#tok recompute reaches the reporter's weighted reductions
+        egs = fit_batch_to_mesh(egs, self.ndev)
         host, dev = self._device_split(egs)
         lr = jnp.float32(self.lr_scheduler.get_lr())
         ssr = jnp.float32(self.ssr)
@@ -319,20 +332,19 @@ class DataParallelTrainer(Trainer):
             ]
             self.reporter.log(f"Step {self.cur_step}: device OOM on batch "
                               f"{shapes}, skipped")
-            # flush steps still in flight so reporting stays in dispatch
-            # order before this failure is returned
-            self.drain()
-            return False
+            # flush steps still in flight (dispatch order) and append this
+            # failure — every result reaches the breaker exactly once
+            return self.drain() + [False]
         stats = dict(stats)
         stats["rate"] = self.lr_scheduler.get_lr()
         self._in_flight.append((self.cur_step, host, stats, finite))
         # async dispatch: only block on the oldest step once more than
-        # pipeline_depth results are outstanding — until then report
-        # success optimistically (a non-finite step was already rolled
-        # back on-device; its flag reaches the breaker when drained)
+        # pipeline_depth results are outstanding (a non-finite step was
+        # already rolled back on-device; its flag reaches the breaker
+        # when synced)
         if len(self._in_flight) <= self.pipeline_depth:
-            return True
-        return self._sync_oldest()
+            return []
+        return [self._sync_oldest()]
 
     def _device_split(self, egs: Dict):
         host, dev = self._split_egs(egs)
@@ -348,13 +360,15 @@ class DataParallelTrainer(Trainer):
                 f"Step {step}: non-finite loss/grad, skipped")
         return ok
 
-    def drain(self) -> bool:
+    def drain(self):
         """Block on every in-flight step (end of epoch, before eval/
-        checkpoint/stat reads). Returns False if any drained step failed."""
-        ok = True
+        checkpoint/stat reads). Returns the drained results in dispatch
+        order — empty when nothing was in flight, so feeding them to the
+        error breaker never injects a vacuous success."""
+        out = []
         while self._in_flight:
-            ok = self._sync_oldest() and ok
-        return ok
+            out.append(self._sync_oldest())
+        return out
 
     def valid_one_step(self, egs: Dict) -> None:
         host, dev = self._split_egs(egs)

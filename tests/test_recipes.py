@@ -4,6 +4,7 @@ and task registry lookup. Catches recipe/config drift without training."""
 
 import glob
 import os
+import re
 
 import pytest
 
@@ -135,7 +136,13 @@ def test_recipe_conf_keys_documented():
         for section in ("nnet_conf", "task_conf", "trainer_conf",
                         "asr_transform", "enh_transform"):
             walk_keys(conf.get(section, {}), keys)
-        missing = {k for k in keys if k not in doc}
+        # word-boundary match: substring containment would let short
+        # keys (L/N/X/R/B/H, lr) pass vacuously
+        missing = {
+            k for k in keys
+            if not re.search(rf"(?<![A-Za-z0-9_]){re.escape(str(k))}"
+                             rf"(?![A-Za-z0-9_])", doc)
+        }
         if missing:
             undocumented[_rel(p)] = sorted(missing)
     assert not undocumented, \

@@ -254,7 +254,7 @@ def test_trainer_stops_on_consecutive_errors(tmp_path, monkeypatch):
     trainer = make_trainer(tmp_path, task, stop_on_errors=3)
     loader = SyntheticSSELoader(num_batches=4)
     monkeypatch.setattr(type(trainer), "train_one_step",
-                        lambda self, egs: False)
+                        lambda self, egs: [False])
     with pytest.raises(RuntimeError, match="consecutive errors"):
         trainer.run(loader, loader, num_epochs=1)
 
@@ -277,9 +277,10 @@ def test_trainer_oom_step_is_skipped(tmp_path, monkeypatch):
         return real_step(*args, **kwargs)
 
     trainer._step_fn = flaky
-    results = [
-        trainer.train_one_step(trainer.prep_egs(egs)) for egs in loader
-    ]
+    results = []
+    for egs in loader:
+        results += trainer.train_one_step(trainer.prep_egs(egs))
+    results += trainer.drain()
     assert results == [True, False, True]
     # but a non-OOM failure must propagate
     trainer._step_fn = lambda *a, **k: (_ for _ in ()).throw(
@@ -310,6 +311,13 @@ def test_trainer_uneven_batch_trims_and_shards(tmp_path):
     trn = SyntheticSSELoader(num_batches=2, batch=12)
     dev = SyntheticSSELoader(num_batches=1, batch=10, seed=1)
     trainer.run(trn, dev, num_epochs=1)
+    # the reporter's weighted reductions must see the TRIMMED #utt (8),
+    # not the raw batch size (12): trimming happens before the host-stat
+    # split in train_one_step
+    trainer.init_state(trainer.prep_egs(egs))
+    trainer.train_one_step(trainer.prep_egs(egs))
+    trainer.drain()
+    assert float(trainer.reporter.stats["#utt"][-1]) == 8
 
 
 def test_trainer_dp_matches_single_device(tmp_path):
@@ -422,14 +430,16 @@ def test_trainer_pipelined_sync_matches_blocking(tmp_path):
         loader = SyntheticSSELoader(num_batches=4, batch=8)
         trainer.init_state(trainer.prep_egs(next(iter(loader))))
         seen = []
+        done = []
         for egs in loader:
-            assert trainer.train_one_step(trainer.prep_egs(egs))
+            done += trainer.train_one_step(trainer.prep_egs(egs))
             seen.append(len(trainer.reporter.stats["loss"]))
         if depth == 1:
             assert seen == [0, 1, 2, 3], seen
-            assert trainer.drain()
+            done += trainer.drain()
         else:
             assert seen == [1, 2, 3, 4], seen
+        assert done == [True] * 4, done
         assert len(trainer.reporter.stats["loss"]) == 4
         losses[tag] = [float(v) for v in trainer.reporter.stats["loss"]]
     np.testing.assert_allclose(losses["pipe"], losses["sync"], rtol=1e-6)

@@ -513,9 +513,11 @@ def test_pipelined_trainer_on_chip(tmp_path):
             prog_interval=100, reduction_tag="#utt")
         batches = loader()
         trainer.init_state(trainer.prep_egs(batches[0]))
+        done = []
         for egs in batches:
-            assert trainer.train_one_step(trainer.prep_egs(egs))
-        assert trainer.drain()
+            done += trainer.train_one_step(trainer.prep_egs(egs))
+        done += trainer.drain()
+        assert done == [True] * 3, done
         losses[tag] = [float(v) for v in trainer.reporter.stats["loss"]]
         assert len(losses[tag]) == 3
         assert all(np.isfinite(v) for v in losses[tag])
