@@ -11,7 +11,9 @@ import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # force CPU in subprocesses: clear the axon plugin trigger + set platform
-ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH=os.pathsep.join(
+               [REPO, os.environ.get("PYTHONPATH", "")]))
 ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
 pytestmark = pytest.mark.slow  # subprocess CLI chains, minutes each

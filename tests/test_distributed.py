@@ -35,7 +35,9 @@ def _free_port() -> int:
 
 
 def test_two_process_allreduce():
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [REPO, os.environ.get("PYTHONPATH", "")]))
     env.pop("PALLAS_AXON_POOL_IPS", None)
     code = _CHILD.format(port=_free_port())
     procs = [

@@ -135,7 +135,9 @@ def test_streaming_asr_demo_matches_offline(tmp_path, rng):
     import yaml
 
     REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [REPO, os.environ.get("PYTHONPATH", "")]))
     env.pop("PALLAS_AXON_POOL_IPS", None)
     cpt = tmp_path / "cpt"
     proc = subprocess.run(

@@ -28,7 +28,9 @@ ngram 2=2
 
 
 def test_lm_rescore_with_arpa(tmp_path):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [REPO, os.environ.get("PYTHONPATH", "")]))
     env.pop("PALLAS_AXON_POOL_IPS", None)
     arpa = tmp_path / "lm.arpa"
     arpa.write_text(ARPA)

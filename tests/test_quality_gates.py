@@ -15,7 +15,9 @@ import pytest
 import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ENV = dict(os.environ, JAX_PLATFORMS="cpu")
+ENV = dict(os.environ, JAX_PLATFORMS="cpu",
+           PYTHONPATH=os.pathsep.join(
+               [REPO, os.environ.get("PYTHONPATH", "")]))
 ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
 pytestmark = pytest.mark.slow  # full train->decode->score subprocess chains
