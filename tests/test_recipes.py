@@ -147,3 +147,52 @@ def test_recipe_conf_keys_documented():
             undocumented[_rel(p)] = sorted(missing)
     assert not undocumented, \
         f"conf keys missing from docs/instruction.md: {undocumented}"
+
+
+def test_recipe_readmes_present():
+    """Every recipe dir ships a README (parity: each reference recipe
+    carries one with its Records table; ours cite those numbers)."""
+    missing = [
+        _rel(d) for d in sorted(glob.glob(f"{EXAMPLES}/*/*/"))
+        if not os.path.exists(os.path.join(d, "README.md"))
+    ]
+    assert not missing, missing
+
+
+@pytest.mark.parametrize(
+    "recipe,subsets,sources",
+    [
+        ("sse/wsj0_2mix", ("tr", "cv", "tt"), ("mix", "s1", "s2")),
+        ("sse/wham", ("tr", "cv", "tt"),
+         ("mix_clean", "mix_both", "s1", "s2")),
+        ("sse/librimix", ("train-360", "dev", "test"),
+         ("mix_clean", "mix_both", "s1", "s2")),
+    ],
+    ids=lambda v: v if isinstance(v, str) else "")
+def test_sse_prepare_scp(recipe, subsets, sources, tmp_path):
+    """Drive each SSE recipe's local/prepare_scp.py over a synthetic
+    corpus tree: every produced scp must index all the wavs with
+    'key path' lines."""
+    import subprocess
+    import sys
+
+    root = tmp_path / "corpus"
+    for subset in subsets:
+        for src in sources:
+            d = root / subset / src
+            d.mkdir(parents=True)
+            for utt in ("utt1", "utt2"):
+                (d / f"{utt}.wav").write_bytes(b"RIFF")
+    out = tmp_path / "data"
+    script = os.path.join(EXAMPLES, recipe, "local", "prepare_scp.py")
+    subprocess.run([sys.executable, script, str(root), str(out)],
+                   check=True, capture_output=True)
+    # wsj0_2mix renames mix->mix, s1->spk1, s2->spk2
+    produced = sorted(str(p.relative_to(out)) for p in out.rglob("*.scp"))
+    assert len(produced) == len(subsets) * len(sources), produced
+    for scp in out.rglob("*.scp"):
+        lines = scp.read_text().strip().splitlines()
+        assert len(lines) == 2, f"{scp}: {lines}"
+        for ln in lines:
+            key, path = ln.split(maxsplit=1)
+            assert os.path.isfile(path), f"{scp}: missing {path}"
