@@ -167,7 +167,10 @@ def bench_train(on_tpu: bool):
         params = optax.apply_updates(params, updates)
         return params, new_mstate, opt_state, loss
 
-    jitted = jax.jit(step)
+    # donate the train state like the real trainer does
+    # (trainer/dp.py:270): without donation XLA inserts a params-sized
+    # copy per step to keep the inputs alive
+    jitted = jax.jit(step, donate_argnums=(0, 1, 2))
     # XLA's own FLOP count for the whole compiled step -> MFU
     step_flops = None
     try:
