@@ -94,8 +94,10 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
     enc_len_tiled = None if enc_len is None else jnp.full((K,), enc_len)
 
     use_ctc = param.ctc_weight > 0 and ctc_out is not None
-    scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K) if use_ctc \
-        else None
+    scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K,
+                       use_pallas=param.ctc_fused,
+                       interpret=jax.default_backend() == "cpu") \
+        if use_ctc else None
 
     carry0, att_cache = nnet.apply(variables, enc_tiled, K, enc_len_tiled,
                                    method="decode_prep")

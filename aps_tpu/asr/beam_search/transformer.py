@@ -80,8 +80,10 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
     enc_tiled = jnp.tile(enc_out[None], (K, 1, 1))
     enc_len_tiled = None if enc_len is None else jnp.full((K,), enc_len)
     use_ctc = param.ctc_weight > 0 and ctc_out is not None
-    scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K) if use_ctc \
-        else None
+    scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K,
+                       use_pallas=param.ctc_fused,
+                       interpret=jax.default_backend() == "cpu") \
+        if use_ctc else None
     state0 = init_beam_state(K, max_len, param.sos, T)
     lm_state0 = lm.init_state(K) if lm is not None else None
     ctc_state0 = scorer.init_state() if use_ctc else None

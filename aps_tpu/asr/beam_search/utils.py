@@ -49,6 +49,11 @@ class BeamSearchParam(object):
     # partial-reduction kernel. Candidate pruning only — the K-way beam
     # selection stays exact.
     approx_topk: bool = False
+    # run the CTC prefix-scorer step as one fused Pallas kernel
+    # (ops/pallas/ctc_score.py); its custom_vmap rule folds the batched
+    # search's utterance axis into the kernel lanes. Numerically the same
+    # blocked recursions as the portable path.
+    ctc_fused: bool = False
 
 
 class BeamState(NamedTuple):

@@ -4,7 +4,7 @@
 One Pallas kernel executes the whole per-step CTC prefix-score update of
 aps_tpu/asr/beam_search/ctc.py::CtcScorer.__call__ — the phi terms, BOTH
 blocked log-linear gamma recursions, the extension scores and the delta —
-with every intermediate VMEM-resident in a flat (T, B*C) layout.
+with every intermediate VMEM-resident in a flat (T, L) lane layout.
 
 Why: a decode-step trace (BENCHMARKS.md round 3) shows the XLA lowering
 of the scorer dominates the whole beam-search step: ~3.4 ms/step of small
@@ -15,6 +15,12 @@ Hillis-Steele level is a separate HBM round trip. The decoder matmuls are
 <7% of the step. Here the host passes flat (T, L) operands (L = B*C,
 lane-aligned), the kernel runs the ~40 elementwise/scan passes on VMEM,
 and HBM sees each operand once.
+
+Batching: `ctc_score_step` carries a custom_vmap rule that folds the
+mapped axis into the lane axis — `beam_search_batch`'s per-utterance vmap
+therefore lowers to ONE wide kernel (lane-blocked grid over N*B*C lanes)
+instead of N sequential sub-128-lane instances (the vmap lift that made
+the first fused attempt perf-neutral, BENCHMARKS.md round 3).
 
 The recursion math mirrors ctc.py::_blocked_log_linear_rec exactly
 (32-frame closed-form blocks + carried block boundaries), so the fused
@@ -28,12 +34,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+from jax import custom_batching, lax
 from jax.experimental import pallas as pl
 
 from aps_tpu.const import MIN_F32
 
 BLOCK = 32  # frames per closed-form block (matches ctc.py)
+# lanes per grid instance: (T x LANE_BLOCK) f32 operands + ~12 live
+# intermediates stay well under the ~16 MB/core VMEM at speech T (<=3000)
+LANE_BLOCK = 256
 
 
 def _shift_rows(x, s, fill):
@@ -89,7 +98,7 @@ def _ctc_score_kernel(pc_ref, gnx_ref, gbx_ref, pb_ref, rok_ref, eosm_ref,
     rpad = lambda x, v: x if pad == 0 else jnp.concatenate(
         [x, fill(pad, v)], axis=0)
     pc = pc_ref[...]
-    is_first = isf_ref[0, 0] > 0
+    is_first = isf_ref[...] > 0  # (1, L) lane mask
     # phi_t = logaddexp(gamma_b[t], [no-repeat] gamma_n[t])
     term = jnp.where(rok_ref[...] > 0, gnx_ref[...], MIN_F32)
     phi = jnp.logaddexp(gbx_ref[...], term)
@@ -100,11 +109,10 @@ def _ctc_score_kernel(pc_ref, gnx_ref, gbx_ref, pb_ref, rok_ref, eosm_ref,
     tmod = lax.broadcasted_iota(jnp.int32, (Tpad, 1), 0) % BLOCK
     gamma_n = _blocked_rec(rpad(a, MIN_F32), rpad(pc, 0.0), tmod, nb)[:T]
     # w_b0 = -inf; w_bt = gamma_n_{t-1} + p_blank_t;  q_0 = 0, q_t = pb_t
-    pb = pb_ref[...]  # (T, 1) broadcasts over lanes
+    pb = pb_ref[...]  # (T, L): per-lane blank column (batch-foldable)
     w_b = _shift_rows(gamma_n, 1, MIN_F32) + pb
     w_b = jnp.concatenate([fill(1, MIN_F32), w_b[1:]], axis=0)
-    q = jnp.concatenate([jnp.zeros((1, 1), jnp.float32), pb[1:]], axis=0)
-    q = jnp.broadcast_to(q, (T, L))
+    q = jnp.concatenate([jnp.zeros((1, L), jnp.float32), pb[1:]], axis=0)
     gamma_b = _blocked_rec(rpad(w_b, MIN_F32), rpad(q, 0.0), tmod, nb)[:T]
     # extension score = logsumexp_t a_t; eos: full-prefix probability
     m = jnp.max(a, axis=0, keepdims=True)
@@ -116,6 +124,76 @@ def _ctc_score_kernel(pc_ref, gnx_ref, gbx_ref, pb_ref, rok_ref, eosm_ref,
     gb_out[...] = gamma_b
     sc_out[...] = score
     dl_out[...] = score - score_ref[...]
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _ctc_score_lanes(p_c, gnx, gbx, pb, rok, eosm, old, isf,
+                     interpret: bool):
+    """pallas_call over a lane-blocked grid; all operands (T, L)/(1, L)."""
+    T, L = p_c.shape
+    LB = min(LANE_BLOCK, _round_up(L, 128))
+    Lp = _round_up(L, LB)
+    if Lp != L:
+        # edge-replicated pad lanes recompute lane L-1: no -inf/-inf NaN
+        # hazards in the padding, outputs sliced off below
+        pe = lambda x: jnp.pad(x, ((0, 0), (0, Lp - L)), mode="edge")
+        p_c, gnx, gbx, pb = pe(p_c), pe(gnx), pe(gbx), pe(pb)
+        rok, eosm, old, isf = pe(rok), pe(eosm), pe(old), pe(isf)
+    nb = -(-T // BLOCK)
+    kfn = functools.partial(_ctc_score_kernel, T=T, nb=nb)
+    spec_t = pl.BlockSpec((T, LB), lambda j: (0, j))
+    spec_1 = pl.BlockSpec((1, LB), lambda j: (0, j))
+    outs = pl.pallas_call(
+        kfn,
+        grid=(Lp // LB,),
+        in_specs=[spec_t, spec_t, spec_t, spec_t,
+                  spec_1, spec_1, spec_1, spec_1],
+        out_specs=[spec_t, spec_t, spec_1, spec_1],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((T, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(p_c, gnx, gbx, pb, rok, eosm, old, isf)
+    if Lp != L:
+        outs = [o[:, :L] for o in outs]
+    return tuple(outs)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_step(interpret: bool):
+    """custom_vmap wrapper: a mapped axis folds into the lane axis, so
+    the batched search emits ONE wide kernel per step instead of one
+    narrow kernel per utterance."""
+
+    @custom_batching.custom_vmap
+    def step(p_c, gnx, gbx, pb, rok, eosm, old, isf):
+        return _ctc_score_lanes(p_c, gnx, gbx, pb, rok, eosm, old, isf,
+                                interpret)
+
+    @step.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        N = axis_size
+        bcast = lambda x, b: x if b else jnp.broadcast_to(
+            x[None], (N,) + x.shape)
+        p_c, gnx, gbx, pb, rok, eosm, old, isf = (
+            bcast(a, b) for a, b in zip(args, in_batched))
+        L = p_c.shape[2]
+        # (N, R, L) -> (R, N*L): utterance-major lane groups
+        flat = lambda x: jnp.moveaxis(x, 0, 1).reshape(
+            x.shape[1], N * x.shape[2])
+        outs = step(flat(p_c), flat(gnx), flat(gbx), flat(pb),
+                    flat(rok), flat(eosm), flat(old), flat(isf))
+        unflat = lambda x: jnp.moveaxis(
+            x.reshape(x.shape[0], N, L), 1, 0)
+        return tuple(unflat(o) for o in outs), (True,) * 4
+
+    return step
 
 
 def ctc_score_step(p_c: jnp.ndarray,
@@ -132,7 +210,7 @@ def ctc_score_step(p_c: jnp.ndarray,
     Args:
         p_c: T x L f32 log p(t, cand) (pre-gathered, flat candidate axis)
         gamma_nx / gamma_bx: T x L f32 prefix gammas expanded to cand lanes
-        p_blank: T x 1 f32 blank log-probs
+        p_blank: T x 1 f32 blank log-probs (broadcast over lanes)
         repeat_ok: 1 x L f32 (1.0 where cand != last token of the prefix)
         eos_mask: 1 x L f32 (1.0 where cand == eos)
         old_score: 1 x L f32 prefix scores expanded to cand lanes
@@ -141,22 +219,9 @@ def ctc_score_step(p_c: jnp.ndarray,
         (gamma_n, gamma_b, score, delta): T x L, T x L, 1 x L, 1 x L
     """
     T, L = p_c.shape
-    nb = -(-T // BLOCK)
-    kfn = functools.partial(_ctc_score_kernel, T=T, nb=nb)
-    full = lambda r: pl.BlockSpec((r, L), lambda: (0, 0))
-    return pl.pallas_call(
-        kfn,
-        in_specs=[full(T), full(T), full(T),
-                  pl.BlockSpec((T, 1), lambda: (0, 0)),
-                  full(1), full(1), full(1),
-                  pl.BlockSpec((1, 1), lambda: (0, 0))],
-        out_specs=[full(T), full(T), full(1), full(1)],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, L), jnp.float32),
-            jax.ShapeDtypeStruct((T, L), jnp.float32),
-            jax.ShapeDtypeStruct((1, L), jnp.float32),
-            jax.ShapeDtypeStruct((1, L), jnp.float32),
-        ],
-        interpret=interpret,
-    )(p_c, gamma_nx, gamma_bx, p_blank, repeat_ok, eos_mask, old_score,
-      is_first)
+    pb = jnp.broadcast_to(p_blank, (T, L))
+    isf = jnp.broadcast_to(
+        jnp.asarray(is_first, jnp.float32).reshape(1, 1), (1, L))
+    return _fused_step(bool(interpret))(p_c, gamma_nx, gamma_bx, pb,
+                                        repeat_ok, eos_mask, old_score,
+                                        isf)

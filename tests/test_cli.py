@@ -551,6 +551,36 @@ def test_utils_data_tools(tmp_path):
             if ln] == ["utt1", "utt2"]
 
 
+def test_text_tokenize_cli(tmp_path):
+    """cmd/text_tokenize.py: kaldi/raw formats, unit filtering, vocab dump
+    (parity: /root/reference/cmd/text_tokenize.py)."""
+    text = tmp_path / "text"
+    text.write_text("utt1 hello world\nutt2 foo foo bar\n")
+    tok = tmp_path / "tok"
+    vocab = tmp_path / "dict"
+    # kaldi format + word units + vocab dump (default <unk> prefix,
+    # <sos>/<eos> appended)
+    run_cmd(["cmd/text_tokenize.py", str(text), str(tok), "--unit", "word",
+             "--text-format", "kaldi", "--dump-vocab", str(vocab),
+             "--filter-units", "bar"])
+    lines = tok.read_text().strip().split("\n")
+    assert lines[0].split()[0] == "utt1"
+    assert lines[0].split()[1:] == ["hello", "world"]
+    assert lines[1].split()[1:] == ["foo", "foo"]  # bar filtered out
+    units = dict(ln.split() for ln in vocab.read_text().strip().split("\n"))
+    assert units["<unk>"] == "0"
+    assert units["foo"] == "1"  # most frequent corpus unit after prefix
+    assert "bar" not in units
+    assert int(units["<eos>"]) == int(units["<sos>"]) + 1
+    # raw format + char units: no utterance keys in the output
+    raw = tmp_path / "raw"
+    raw.write_text("ab cd\n")
+    tok2 = tmp_path / "tok2"
+    run_cmd(["cmd/text_tokenize.py", str(raw), str(tok2), "--unit", "char",
+             "--text-format", "raw", "--space", "<space>"])
+    assert tok2.read_text().split() == ["a", "b", "<space>", "c", "d"]
+
+
 def test_train_am_multichannel_mvdr_and_decode(tmp_path):
     """Multi-channel ASR end to end through the real CLI chain: a
     mask-based MVDR front-end (asr@enh_att, chime4-recipe shape) trains

@@ -231,3 +231,30 @@ def test_ctc_score_step_fused_matches_portable(rng):
         s_ref, s_fus = ref.update_var(n_ref, keep), fus.update_var(
             n_fus, keep)
         last = cand.reshape(-1)[keep]
+
+
+def test_ctc_score_step_fused_vmap_folds_batch(rng):
+    """Under jax.vmap the fused scorer's custom_vmap rule folds the
+    mapped axis into the lane axis (one wide kernel); results must match
+    per-utterance calls exactly."""
+    from aps_tpu.ops.pallas.ctc_score import ctc_score_step
+
+    T, N, L = 45, 3, 12
+    f32 = np.float32
+    p_c = rng.standard_normal((N, T, L)).astype(f32)
+    gnx = rng.standard_normal((N, T, L)).astype(f32)
+    gbx = rng.standard_normal((N, T, L)).astype(f32)
+    pb = rng.standard_normal((N, T, 1)).astype(f32)
+    rok = (rng.random((N, 1, L)) > 0.3).astype(f32)
+    eosm = (rng.random((N, 1, L)) > 0.8).astype(f32)
+    old = rng.standard_normal((N, 1, L)).astype(f32)
+    isf = np.ones((N, 1, 1), dtype=f32)
+
+    step = lambda *a: ctc_score_step(*a, interpret=True)
+    got = jax.vmap(step)(p_c, gnx, gbx, pb, rok, eosm, old, isf)
+    for n in range(N):
+        want = step(p_c[n], gnx[n], gbx[n], pb[n], rok[n], eosm[n],
+                    old[n], isf[n])
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g[n]), np.asarray(w),
+                                       atol=2e-5)
