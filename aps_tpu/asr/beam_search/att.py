@@ -84,25 +84,65 @@ def greedy_search(nnet, variables, x, sos=-1, eos=-1, **kwargs) -> List[Dict]:
                        nbest=1, **kwargs)
 
 
+def segmented_topk(total: jnp.ndarray, cand: Optional[jnp.ndarray],
+                   num_utts: int, K: int):
+    """Per-utterance top-K beam selection over flat lanes.
+    total: (N*K, C) fused scores; cand: (N*K, C) candidate token ids (or
+    None -> token id = column index). Returns (score, beam_idx, tok), all
+    flat (N*K,) with GLOBAL lane indices, plus flat (N*K,) indices into
+    the per-utterance (K*C) candidate axis for scorer-state gathers."""
+    N = num_utts
+    C = total.shape[-1]
+    score_u, idx_u = jax.lax.top_k(total.reshape(N, K * C), K)  # N x K
+    base = jnp.arange(N, dtype=idx_u.dtype)[:, None]
+    beam_idx = (base * K + idx_u // C).reshape(-1)
+    if cand is None:
+        tok = (idx_u % C).reshape(-1)
+    else:
+        tok = jnp.take_along_axis(cand.reshape(N, K * C), idx_u,
+                                  axis=1).reshape(-1)
+    flat_idx = (base * (K * C) + idx_u).reshape(-1)
+    return score_u.reshape(-1), beam_idx, tok, flat_idx
+
+
+def _per_utt(x: jnp.ndarray, num_utts: int, reduce) -> jnp.ndarray:
+    """Reduce a flat (N*K,) lane vector per utterance -> (N,)."""
+    return reduce(x.reshape(num_utts, -1), axis=1)
+
+
 def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                  param: BeamSearchParam, max_len: int) -> BeamState:
-    """The traced search program: enc_out T x D -> final dense BeamState.
-    vmap-able over utterances (see beam_search_batch)."""
+    """The traced search program -> final dense BeamState over flat lanes.
+
+    enc_out is T x D (single utterance) or N x T x D (batch): the beam
+    lives on ONE flat lane axis of N*K rows (lane u*K + k = beam k of
+    utterance u), so every per-step op — decoder, scorers, bookkeeping —
+    spans the whole batch in single fused XLA/Pallas kernels. The
+    previous per-utterance vmap synthesized the batch axis instead,
+    which serialized pallas_calls into per-utterance grids and left
+    8/12-wide minor dims on every beam op (BENCHMARKS.md round 3)."""
     K = param.beam_size
-    T = enc_out.shape[0]
-    enc_tiled = jnp.tile(enc_out[None], (K, 1, 1))
-    enc_len_tiled = None if enc_len is None else jnp.full((K,), enc_len)
+    if enc_out.ndim == 2:
+        enc_out = enc_out[None]
+        if ctc_out is not None:
+            ctc_out = ctc_out[None]
+        if enc_len is not None:
+            enc_len = jnp.reshape(enc_len, (1,))
+    N, T = enc_out.shape[0], enc_out.shape[1]
+    lanes = N * K
+    enc_tiled = jnp.repeat(enc_out, K, axis=0)  # lanes x T x D
+    enc_len_tiled = None if enc_len is None else jnp.repeat(enc_len, K)
 
     use_ctc = param.ctc_weight > 0 and ctc_out is not None
     scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K,
                        use_pallas=param.ctc_fused,
-                       interpret=jax.default_backend() == "cpu") \
+                       interpret=jax.default_backend() != "tpu") \
         if use_ctc else None
 
-    carry0, att_cache = nnet.apply(variables, enc_tiled, K, enc_len_tiled,
-                                   method="decode_prep")
-    state0 = init_beam_state(K, max_len, param.sos, T)
-    lm_state0 = lm.init_state(K) if lm is not None else None
+    carry0, att_cache = nnet.apply(variables, enc_tiled, lanes,
+                                   enc_len_tiled, method="decode_prep")
+    state0 = init_beam_state(K, max_len, param.sos, T, num_utts=N)
+    lm_state0 = lm.init_state(lanes) if lm is not None else None
     ctc_state0 = scorer.init_state() if use_ctc else None
 
     def dec_step(tok, carry):
@@ -110,17 +150,23 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                           enc_len_tiled, method="decode_step")
 
     # espnet-style end detection: once a finished hypothesis exists
-    # and no better one has finished for END_PATIENCE steps, stop early
+    # and no better one has finished for END_PATIENCE steps, stop early.
+    # best_done/last_improve are tracked per utterance (N,)
     END_PATIENCE = 3
 
-    def cond(loop):
-        t, state, *_rest, best_done, last_improve = loop
-        go = (t < max_len) & ~jnp.all(state.done)
+    def _go(t, state, best_done, last_improve):
+        """Per-utterance continue mask (N,)."""
+        go = ~_per_utt(state.done, N, jnp.all)
         if param.end_detect:
             stalled = (best_done > MIN_F32 / 2) & \
                 (t - last_improve >= END_PATIENCE)
             go = go & ~stalled
         return go
+
+    def cond(loop):
+        t, state, *_rest, best_done, last_improve = loop
+        return (t < max_len) & jnp.any(_go(t, state, best_done,
+                                           last_improve))
 
     def body(loop):
         t, state, carry, lm_state, ctc_state, best_done, last_improve = loop
@@ -153,9 +199,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                 jnp.where(jnp.arange(C)[None, :] == 0, 0.0, MIN_F32),
                 fusion)
             total = state.score[:, None] + fusion
-            flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
-            beam_idx = flat_idx // C
-            tok = cand[beam_idx, flat_idx % C]
+            flat_score, beam_idx, tok, flat_idx = segmented_topk(
+                total, cand, N, K)
             ctc_state = scorer.update_var(ctc_state_x, flat_idx)
         else:
             fusion = am_prob + param.lm_weight * lm_prob
@@ -164,9 +209,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                                          param.eos_threshold)
             fusion = mask_finished_scores(fusion, state.done, param.eos)
             total = state.score[:, None] + fusion
-            flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
-            beam_idx = flat_idx // V
-            tok = flat_idx % V
+            flat_score, beam_idx, tok, _ = segmented_topk(
+                total, None, N, K)
 
         prev_done = state.done[beam_idx]
         tokens = state.tokens[beam_idx]
@@ -181,21 +225,47 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
         coverage = state.coverage[beam_idx]
         if ali is not None and param.cov_penalty > 0:
             coverage = coverage + jnp.where(prev_done[:, None], 0.0, ali)
-        state = BeamState(tokens=tokens, score=flat_score, done=done,
-                          length=length, coverage=coverage)
-        carry = _gather_tree(carry, beam_idx)
+        new_state = BeamState(tokens=tokens, score=flat_score, done=done,
+                              length=length, coverage=coverage)
+        new_carry = _gather_tree(carry, beam_idx)
         if lm is not None:
             lm_state = lm.reorder(lm_state, beam_idx)
-        cur_best = jnp.max(jnp.where(done, flat_score, MIN_F32))
+        cur_best = _per_utt(jnp.where(done, flat_score, MIN_F32), N,
+                            jnp.max)
         improved = cur_best > best_done
-        best_done = jnp.maximum(best_done, cur_best)
+        if param.end_detect and N > 1:
+            # freeze utterances whose per-utterance cond is already false
+            # (all-done utterances are frozen by done-semantics anyway,
+            # but a STALLED utterance still has live beams — exactly the
+            # states vmap's while_loop batching would mask out)
+            act = _go(t, state, best_done, last_improve)
+            sel0 = lambda n, o: jnp.where(
+                jnp.repeat(act, K).reshape((lanes,) + (1,) * (n.ndim - 1)),
+                n, o)
+            new_state = jax.tree_util.tree_map(sel0, new_state, state)
+            new_carry = jax.tree_util.tree_map(sel0, new_carry, loop[2])
+            if lm is not None:
+                lm_state = jax.tree_util.tree_map(sel0, lm_state, loop[3])
+            if use_ctc:
+                # gammas carry lanes on axis 1
+                sel1 = lambda n, o: jnp.where(
+                    jnp.repeat(act, K)[None, :], n, o)
+                old_ctc = loop[4]
+                ctc_state = type(ctc_state)(
+                    sel1(ctc_state.gamma_n, old_ctc.gamma_n),
+                    sel1(ctc_state.gamma_b, old_ctc.gamma_b),
+                    sel0(ctc_state.score, old_ctc.score))
+            improved = improved & act
+        best_done = jnp.where(improved, jnp.maximum(best_done, cur_best),
+                              best_done)
         last_improve = jnp.where(improved, t, last_improve)
-        return (t + 1, state, carry, lm_state, ctc_state, best_done,
-                last_improve)
+        return (t + 1, new_state, new_carry, lm_state, ctc_state,
+                best_done, last_improve)
 
     # lax.while_loop needs uniform pytrees; wrap None states as empty tuples
     loop0 = (0, state0, carry0, lm_state0, ctc_state0,
-             jnp.float32(MIN_F32), 0)
+             jnp.full((N,), MIN_F32, jnp.float32),
+             jnp.zeros((N,), jnp.int32))
     _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
     return final_state
 
@@ -214,12 +284,12 @@ def beam_search_batch(nnet, variables, batch: List,
                       mesh=None,
                       **kwargs) -> List[List[Dict]]:
     """True batched beam search: ONE compiled program decodes the whole
-    batch — encoder runs padded+masked, the per-utterance search loops are
-    vmapped over the batch axis (JAX freezes finished lanes inside the
-    batched while_loop). Padded CTC frames are forced to certain-blank,
-    which leaves prefix scores exactly invariant, so results match the
-    per-utterance search. Callers should length-bucket utterances so only
-    a few (batch, S) shapes ever compile."""
+    batch — encoder runs padded+masked, then ONE flat search loop runs
+    over N*K fused (utterance x beam) lanes (see _search_core; finished
+    beams freeze via done-semantics). Padded CTC frames are forced to
+    certain-blank, which leaves prefix scores exactly invariant, so
+    results match the per-utterance search. Callers should length-bucket
+    utterances so only a few (batch, S) shapes ever compile."""
     param = _param_from_kwargs(sos, eos, beam_size=beam_size, **kwargs)
     # pad_to lets callers pin the padded length to a bucket size so the
     # compiled executable is reused across batches
@@ -254,23 +324,19 @@ def beam_search_batch(nnet, variables, batch: List,
 
     def _build():
         def _run(variables, enc_out, enc_len, ctc_out):
-            def core(enc, el, ctc):
-                return _search_core(nnet, variables, enc, el, ctc, lm,
-                                    param, ml)
-
             with jax.default_matmul_precision(matmul_precision):
-                if ctc_out is None:
-                    return jax.vmap(lambda e, el: core(e, el, None))(
-                        enc_out, enc_len)
-                return jax.vmap(core)(enc_out, enc_len, ctc_out)
+                return _search_core(nnet, variables, enc_out, enc_len,
+                                    ctc_out, lm, param, ml)
 
         return jax.jit(_run)
 
     step = _BATCH_EXECUTABLES.get(key, _build)
     final = jax.device_get(step(variables, enc_out, enc_len, ctc_out))
+    K = param.beam_size
     return [
-        extract_nbest(_gather_tree(final, b), param, nbest, final=True)
-        for b in range(len(batch))
+        extract_nbest(
+            _gather_tree(final, slice(b * K, (b + 1) * K)), param, nbest,
+            final=True) for b in range(len(batch))
     ]
 
 

@@ -81,57 +81,88 @@ def _blocked_log_linear_rec(w: jnp.ndarray, p: jnp.ndarray,
 class CtcScorer(object):
     """Functional CTC prefix scorer. blank = V - 1 (appended id).
 
+    Accepts ONE utterance (ctc_prob T x V) or N stacked utterances
+    (N x T x V); with N utterances the scorer runs over N*beam flat
+    lanes (utterance-major: lane u*beam + k is beam k of utterance u) —
+    the layout the flattened batched search (att.beam_search_batch)
+    carries, so every per-step op spans the whole batch in one fused
+    XLA kernel instead of a vmap-synthesized batch axis.
+
     use_pallas=True runs the whole per-step update as ONE fused Pallas
     kernel (ops/pallas/ctc_score.py) with every intermediate
-    VMEM-resident. Measured on the v5e bench chip it is perf-NEUTRAL at
-    best: -8% in the vmapped batched search (the vmap grid serializes
-    one under-128-lane kernel instance per utterance while XLA's own
-    fusion of the blocked recursions parallelizes over the whole batch)
-    and +4% single-utterance — so the portable XLA path stays the
-    default everywhere; the kernel is kept as a verified opt-in for
-    narrow-batch serving shapes (parity tests in test_pallas.py and
+    VMEM-resident. Under the flat batched layout the kernel sees all
+    N*B*C lanes in one lane-blocked grid (no vmap lift); the portable
+    XLA path stays the default (parity tests in test_pallas.py and
     tests/tpu)."""
 
     def __init__(self, ctc_prob: jnp.ndarray, eos: int,
                  beam_size: int, use_pallas: bool = False,
                  interpret: bool = False) -> None:
-        """ctc_prob: T x V logits."""
-        self.logp = jax.nn.log_softmax(
+        """ctc_prob: T x V (single) or N x T x V (batched) logits."""
+        logp = jax.nn.log_softmax(
             jnp.asarray(ctc_prob, dtype=jnp.float32), axis=-1)
-        self.T, self.V = self.logp.shape
+        if logp.ndim == 2:
+            logp = logp[None]
+        # stored (T, N, V): the per-step candidate gather then yields the
+        # flat (T, L) lane layout directly, no per-step transpose
+        self.logp = jnp.moveaxis(logp, 0, 1)
+        self.T, self.N, self.V = self.logp.shape
         self.eos = eos
         self.blank = self.V - 1
         self.beam = beam_size
         self.use_pallas = use_pallas
         self.interpret = interpret
 
+    @property
+    def lanes(self) -> int:
+        return self.N * self.beam
+
     def init_state(self) -> CtcScoreState:
-        gamma_n = jnp.full((self.T, self.beam), MIN_F32)
-        gamma_b0 = jnp.cumsum(self.logp[:, self.blank])
-        gamma_b = jnp.tile(gamma_b0[:, None], (1, self.beam))
+        gamma_n = jnp.full((self.T, self.lanes), MIN_F32)
+        gamma_b0 = jnp.cumsum(self.logp[:, :, self.blank], axis=0)  # T x N
+        gamma_b = jnp.repeat(gamma_b0, self.beam, axis=1)
         return CtcScoreState(gamma_n, gamma_b,
-                             jnp.zeros((self.beam,)))
+                             jnp.zeros((self.lanes,)))
+
+    def _gather_cand(self, cand: jnp.ndarray) -> jnp.ndarray:
+        """log p(t, cand) for flat candidate lanes: cand B x C with
+        B = N*beam -> p_c T x (B*C)."""
+        B, C = cand.shape
+        idx = cand.reshape(self.N, self.beam * C)  # per-utterance lanes
+        p_c = jnp.take_along_axis(self.logp, idx[None], axis=2)
+        return p_c.reshape(self.T, B * C)
+
+    def _blank_col(self, C: int) -> jnp.ndarray:
+        """Per-lane blank log-probs T x (N*beam*C)."""
+        return jnp.repeat(self.logp[:, :, self.blank], self.beam * C,
+                          axis=1)
 
     def __call__(self, state: CtcScoreState, last_tok: jnp.ndarray,
                  cand: jnp.ndarray, is_first) -> Tuple[jnp.ndarray,
                                                        CtcScoreState]:
         """Score extensions.
-        state: per-beam gammas; last_tok: B (last token of each prefix);
-        cand: B x C candidate tokens; is_first: scalar bool (prefix empty).
-        Returns (delta_score B x C, new state stacked as B*C for later
-        gather via update_var)."""
+        state: per-lane gammas; last_tok: B (last token of each prefix);
+        cand: B x C candidate tokens (B = N*beam); is_first: scalar bool
+        (prefix empty). Returns (delta_score B x C, new state stacked as
+        B*C for later gather via update_var)."""
         B, C = cand.shape
         if self.use_pallas:
-            return self._call_fused(state, last_tok, cand, is_first)
+            from aps_tpu.ops.pallas.ctc_score import fused_supported
+            if fused_supported(self.T):
+                return self._call_fused(state, last_tok, cand, is_first)
+            logger.warning(
+                "ctc_fused: T=%d exceeds the fused kernel's VMEM budget; "
+                "falling back to the portable scorer", self.T)
+            self.use_pallas = False
         # Everything runs in a flat (T, L = B*C) layout: T x B x C
         # intermediates would tile their 12-wide minor dim to 128 lanes
         # (~9% utilization + a physical relayout on every reshape), while
-        # T x L fills 96+ of 128 lanes and the final state needs no
-        # reshape at all. Measured +6% end-to-end on the batched flagship
-        # decode (1277 vs 1207 RTF, same process, identical transcripts).
+        # T x L fills the lanes and the final state needs no reshape at
+        # all. Measured +6% end-to-end on the batched flagship decode
+        # (1277 vs 1207 RTF, same process, identical transcripts).
         cf = cand.reshape(-1)
-        p_c = self.logp[:, cf]  # T x L
-        p_blank = self.logp[:, self.blank]
+        p_c = self._gather_cand(cand)  # T x L
+        p_blank = self._blank_col(C)   # T x L
         repeat_ok = jnp.repeat(last_tok, C) != cf  # L
 
         init_n = jnp.where(is_first, p_c[0], MIN_F32)
@@ -149,12 +180,12 @@ class CtcScorer(object):
 
         a = jnp.concatenate([init_n[None], phi + p_c[1:]], axis=0)
         gamma_n_h = _blocked_log_linear_rec(a, p_c)
-        q = jnp.concatenate([jnp.zeros((1,)), p_blank[1:]], axis=0)
+        q = jnp.concatenate([jnp.zeros((1, B * C)), p_blank[1:]], axis=0)
         w_b = jnp.concatenate([
             jnp.full((1, B * C), MIN_F32),
-            gamma_n_h[:-1] + p_blank[1:, None]
+            gamma_n_h[:-1] + p_blank[1:]
         ], axis=0)
-        gamma_b_h = _blocked_log_linear_rec(w_b, q[:, None])
+        gamma_b_h = _blocked_log_linear_rec(w_b, q)
         score = jnp.maximum(jax.nn.logsumexp(a, axis=0), MIN_F32)
         # eos candidates: score = full-prefix probability
         full_prefix = jnp.logaddexp(state.gamma_b[-1], state.gamma_n[-1])
@@ -175,10 +206,10 @@ class CtcScorer(object):
         cf = cand.reshape(-1)
         f32 = jnp.float32
         gamma_n, gamma_b, score, delta = ctc_score_step(
-            self.logp[:, cf],
+            self._gather_cand(cand),
             jnp.repeat(state.gamma_n, C, axis=1),
             jnp.repeat(state.gamma_b, C, axis=1),
-            self.logp[:, self.blank:self.blank + 1],
+            self._blank_col(C),
             (jnp.repeat(last_tok, C) != cf).astype(f32)[None],
             (cf == self.eos).astype(f32)[None],
             jnp.repeat(state.score, C)[None],

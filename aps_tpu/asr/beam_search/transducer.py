@@ -47,32 +47,42 @@ def _pred_net_state0(nnet, K: int):
 
 def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
                  beam_size: int) -> TransducerState:
-    """Traced frame-synchronous search. enc_out: T x D. Frames at
-    t >= enc_len (if given) leave the beam untouched, so the padded
-    batched search matches the unpadded per-utterance search."""
+    """Traced frame-synchronous search over flat lanes. enc_out is T x D
+    (single utterance) or N x T x D (batch): the beam lives on ONE flat
+    lane axis of N*K rows (lane u*K + k = beam k of utterance u), so the
+    per-frame joint/topk/bookkeeping span the whole batch in fused
+    kernels (see att._search_core for the design rationale). Frames at
+    t >= enc_len (if given) leave that utterance's beam untouched, so the
+    padded batched search matches the unpadded per-utterance search."""
+    from aps_tpu.asr.beam_search.att import segmented_topk
     blank = nnet.blank
-    T = enc_out.shape[0]
+    if enc_out.ndim == 2:
+        enc_out = enc_out[None]
+        if enc_len is not None:
+            enc_len = jnp.reshape(enc_len, (1,))
+    N, T = enc_out.shape[0], enc_out.shape[1]
     K = beam_size
+    lanes = N * K
     # RNN prediction nets carry a recurrent state; transformer prediction
     # nets are stateless and rescore a fixed-size token buffer each frame
     # (U capped: practical emission counts are far below frame counts)
     stateful = nnet.dec_type == "rnn"
     U = min(T + 1, 256)
-    blank_tok = jnp.full((K, 1), blank, dtype=jnp.int32)
+    blank_tok = jnp.full((lanes, 1), blank, dtype=jnp.int32)
     if stateful:
-        hidden0 = _pred_net_state0(nnet, K)
+        hidden0 = _pred_net_state0(nnet, lanes)
         dec_out0, hidden0 = nnet.apply(variables, blank_tok, hidden0,
                                        method="decode_pred")
     else:
         hidden0 = ()
         dec_out0 = nnet.apply(variables,
-                              jnp.full((K, U), blank, dtype=jnp.int32),
-                              jnp.zeros((K,), dtype=jnp.int32),
+                              jnp.full((lanes, U), blank, dtype=jnp.int32),
+                              jnp.zeros((lanes,), dtype=jnp.int32),
                               method="decode_pred_fixed")
-    score0 = jnp.where(jnp.arange(K) == 0, 0.0, MIN_F32)
+    score0 = jnp.where(jnp.arange(lanes) % K == 0, 0.0, MIN_F32)
     state0 = TransducerState(
-        tokens=jnp.full((K, T + 1), blank, dtype=jnp.int32),
-        length=jnp.zeros((K,), dtype=jnp.int32),
+        tokens=jnp.full((lanes, T + 1), blank, dtype=jnp.int32),
+        length=jnp.zeros((lanes,), dtype=jnp.int32),
         score=score0,
         dec_out=dec_out0,
         hidden=hidden0)
@@ -81,7 +91,7 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
         if not isinstance(lm, RnnLmAdapter):
             raise NotImplementedError(
                 "transducer LM fusion needs a state-based (RNN) adapter")
-        lm_state0 = lm.init_state(K)
+        lm_state0 = lm.init_state(lanes)
         # condition the LM as if the stream started with <blank> (the
         # transducer has no sos; blank doubles as BOS for fusion)
         lm_logp0, lm_state0 = lm.step(lm_state0, blank_tok[:, 0], 0)
@@ -90,7 +100,7 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
 
     def frame_step(t, carry):
         state, lm_logp, lm_state = carry
-        enc_frame = jnp.tile(enc_out[t][None], (K, 1))
+        enc_frame = jnp.repeat(enc_out[:, t], K, axis=0)  # lanes x D
         if stateful:
             dec_cur = state.dec_out
         else:
@@ -100,20 +110,18 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
                                  method="decode_pred_fixed")
         logits = nnet.apply(variables, enc_frame, dec_cur,
                             method="decode_joint")
-        logp = jax.nn.log_softmax(logits, -1)  # K x V
+        logp = jax.nn.log_softmax(logits, -1)  # lanes x V
         V = logp.shape[-1]
         if use_lm:
             # LM has no blank output: pad a zero column at the blank slot
             lm_pad = jnp.concatenate(
                 [lm_logp * lm_weight,
-                 jnp.zeros((K, V - lm_logp.shape[-1]))], -1)
+                 jnp.zeros((lanes, V - lm_logp.shape[-1]))], -1)
             fused = logp + lm_pad
         else:
             fused = logp
         total = state.score[:, None] + fused
-        flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
-        beam_idx = flat_idx // V
-        tok = flat_idx % V
+        flat_score, beam_idx, tok, _ = segmented_topk(total, None, N, K)
         emits = tok != blank
         # gather beams
         tokens = state.tokens[beam_idx]
@@ -150,10 +158,12 @@ def _search_core(nnet, variables, enc_out, enc_len, lm, lm_weight: float,
         new_carry = (new_state, lm_logp, lm_state)
         if enc_len is None:
             return new_carry
-        # freeze the beam past the utterance's valid frames
-        active = t < enc_len
+        # freeze each utterance's beam past its valid frames
+        act_lane = jnp.repeat(t < enc_len, K)
         return jax.tree_util.tree_map(
-            lambda new, old: jnp.where(active, new, old), new_carry, carry)
+            lambda new, old: jnp.where(
+                act_lane.reshape((lanes,) + (1,) * (new.ndim - 1)),
+                new, old), new_carry, carry)
 
     final, *_ = jax.lax.fori_loop(0, T, frame_step,
                                   (state0, lm_logp0, lm_state0))
@@ -226,7 +236,8 @@ def beam_search_batch(nnet, variables, batch: List,
                       mesh=None,
                       **kwargs) -> List[List[Dict]]:
     """Batched frame-synchronous search: one compiled program per
-    (batch, length-bucket); padded frames frozen via enc_len."""
+    (batch, length-bucket) over N*K fused (utterance x beam) lanes;
+    padded frames frozen via enc_len."""
     x_pad, lens, S = stack_padded(batch, pad_to=pad_to)
     x_len = jnp.asarray(lens)
     if mesh is not None and x_pad.shape[0] % mesh.shape["data"] == 0:
@@ -244,15 +255,16 @@ def beam_search_batch(nnet, variables, batch: List,
     def _build():
         def _run(variables, enc_out, enc_len):
             with jax.default_matmul_precision(matmul_precision):
-                return jax.vmap(lambda e, el: _search_core(
-                    nnet, variables, e, el, lm, lm_weight, beam_size))(
-                        enc_out, enc_len)
+                return _search_core(nnet, variables, enc_out, enc_len,
+                                    lm, lm_weight, beam_size)
 
         return jax.jit(_run)
 
     step = _BATCH_EXECUTABLES.get(key, _build)
     final = jax.device_get(step(variables, enc_out, enc_len))
-    gather = lambda tree, b: jax.tree_util.tree_map(lambda x: x[b], tree)
+    K = beam_size
+    gather = lambda tree, b: jax.tree_util.tree_map(
+        lambda x: x[b * K:(b + 1) * K], tree)
     return [
         _extract(gather(final, b), nnet.blank, nbest, len_norm)
         for b in range(len(batch))

@@ -73,19 +73,29 @@ def beam_search(nnet,
 
 def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                  param, max_len: int):
-    """Traced transformer-decoder search: enc_out T x D -> final BeamState.
-    vmap-able over utterances (see beam_search_batch)."""
-    T = enc_out.shape[0]
+    """Traced transformer-decoder search -> final BeamState over flat
+    lanes. enc_out is T x D (single) or N x T x D (batch): the beam lives
+    on ONE flat lane axis of N*K rows (lane u*K + k = beam k of utterance
+    u) — see att._search_core for why this beats the per-utterance vmap."""
+    from aps_tpu.asr.beam_search.att import segmented_topk, _per_utt
     K = param.beam_size
-    enc_tiled = jnp.tile(enc_out[None], (K, 1, 1))
-    enc_len_tiled = None if enc_len is None else jnp.full((K,), enc_len)
+    if enc_out.ndim == 2:
+        enc_out = enc_out[None]
+        if ctc_out is not None:
+            ctc_out = ctc_out[None]
+        if enc_len is not None:
+            enc_len = jnp.reshape(enc_len, (1,))
+    N, T = enc_out.shape[0], enc_out.shape[1]
+    lanes = N * K
+    enc_tiled = jnp.repeat(enc_out, K, axis=0)
+    enc_len_tiled = None if enc_len is None else jnp.repeat(enc_len, K)
     use_ctc = param.ctc_weight > 0 and ctc_out is not None
     scorer = CtcScorer(ctc_out, eos=param.eos, beam_size=K,
                        use_pallas=param.ctc_fused,
-                       interpret=jax.default_backend() == "cpu") \
+                       interpret=jax.default_backend() != "tpu") \
         if use_ctc else None
-    state0 = init_beam_state(K, max_len, param.sos, T)
-    lm_state0 = lm.init_state(K) if lm is not None else None
+    state0 = init_beam_state(K, max_len, param.sos, T, num_utts=N)
+    lm_state0 = lm.init_state(lanes) if lm is not None else None
     ctc_state0 = scorer.init_state() if use_ctc else None
     # Incremental decoding (per-layer history cache, O(L) per step) only
     # pays off for long hypothesis lengths: at speech-scale max_len the
@@ -93,20 +103,20 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
     # on v5e at max_len=40: full 123x RT vs incremental 94x RT), while the
     # incremental path's per-step cache gathers dominate. Crossover ~128.
     use_inc = hasattr(nnet, "decode_step_inc") and max_len >= 128
-    cache0 = nnet.apply(variables, K, max_len,
+    cache0 = nnet.apply(variables, lanes, max_len,
                         method="decode_init_cache") if use_inc else ()
     # cross-attention K/V of the (loop-invariant) encoder memory, computed
     # once — XLA does not hoist big matmuls out of while-loops itself.
-    # Project the single utterance and broadcast over the beam: the K
-    # beams share identical memory rows
+    # Projected per UTTERANCE (batch N, not N*K) and consumed beam-shared:
+    # ApsMultiheadAttention folds the K beams into the query-length axis,
+    # so the memory is read once per utterance per step instead of once
+    # per lane (8x less HBM traffic at beam 8)
     mem_kv = None
     if hasattr(nnet, "decode_prep_kv"):
-        kv1 = nnet.apply(variables, enc_out[None], method="decode_prep_kv")
-        mem_kv = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (K,) + x.shape[1:]), kv1)
+        mem_kv = nnet.apply(variables, enc_out, method="decode_prep_kv")
 
     def dec_logits(tokens_buf, t, cache):
-        """Logits for position t: K x V (+ updated cache)."""
+        """Logits for position t: lanes x V (+ updated cache)."""
         if use_inc:
             return nnet.apply(variables, enc_tiled, tokens_buf[:, t],
                               cache, t, enc_len=enc_len_tiled,
@@ -119,23 +129,28 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
         return dec_out, cache
 
     # espnet-style end detection: once a finished hypothesis exists
-    # and no better one has finished for END_PATIENCE steps, stop early
+    # and no better one has finished for END_PATIENCE steps, stop early.
+    # best_done/last_improve are tracked per utterance (N,)
     END_PATIENCE = 3
 
-    def cond(loop):
-        t, state, *_rest, best_done, last_improve = loop
-        go = (t < max_len) & ~jnp.all(state.done)
+    def _go(t, state, best_done, last_improve):
+        go = ~_per_utt(state.done, N, jnp.all)
         if param.end_detect:
             stalled = (best_done > MIN_F32 / 2) & \
                 (t - last_improve >= END_PATIENCE)
             go = go & ~stalled
         return go
 
+    def cond(loop):
+        t, state, *_rest, best_done, last_improve = loop
+        return (t < max_len) & jnp.any(_go(t, state, best_done,
+                                           last_improve))
+
     def body(loop):
         (t, state, lm_state, ctc_state, cache, best_done,
          last_improve) = loop
         tok_prev = state.tokens[:, t]
-        pred, cache = dec_logits(state.tokens, t, cache)
+        pred, new_cache = dec_logits(state.tokens, t, cache)
         am_prob = jax.nn.log_softmax(
             pred.astype(jnp.float32) / param.temperature, -1)
         V = am_prob.shape[-1]
@@ -161,9 +176,8 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                 jnp.where(jnp.arange(C)[None, :] == 0, 0.0, MIN_F32),
                 fusion)
             total = state.score[:, None] + fusion
-            flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
-            beam_idx = flat_idx // C
-            tok = cand[beam_idx, flat_idx % C]
+            flat_score, beam_idx, tok, flat_idx = segmented_topk(
+                total, cand, N, K)
             ctc_state = scorer.update_var(ctc_state_x, flat_idx)
         else:
             fusion = am_prob + param.lm_weight * lm_prob
@@ -172,32 +186,59 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                                          param.eos_threshold)
             fusion = mask_finished_scores(fusion, state.done, param.eos)
             total = state.score[:, None] + fusion
-            flat_score, flat_idx = jax.lax.top_k(total.reshape(-1), K)
-            beam_idx = flat_idx // V
-            tok = flat_idx % V
+            flat_score, beam_idx, tok, _ = segmented_topk(
+                total, None, N, K)
         prev_done = state.done[beam_idx]
         tokens = state.tokens[beam_idx]
         tokens = tokens.at[:, t + 1].set(
             jnp.where(prev_done, tokens[:, t + 1], tok))
         length = state.length[beam_idx] + (~prev_done).astype(jnp.int32)
         done = prev_done | (tok == param.eos)
-        state = BeamState(tokens=tokens, score=flat_score, done=done,
-                          length=length,
-                          coverage=state.coverage[beam_idx])
+        new_state = BeamState(tokens=tokens, score=flat_score, done=done,
+                              length=length,
+                              coverage=state.coverage[beam_idx])
         if lm is not None:
             lm_state = lm.reorder(lm_state, beam_idx)
         if use_inc:
             # carry the history of the selected parent beams
-            cache = cache[:, beam_idx]
-        cur_best = jnp.max(jnp.where(done, flat_score, MIN_F32))
+            new_cache = new_cache[:, beam_idx]
+        cur_best = _per_utt(jnp.where(done, flat_score, MIN_F32), N,
+                            jnp.max)
         improved = cur_best > best_done
-        best_done = jnp.maximum(best_done, cur_best)
+        if param.end_detect and N > 1:
+            # freeze utterances whose per-utterance cond is already false
+            # (a STALLED utterance still has live beams — exactly the
+            # states vmap's while_loop batching would mask out)
+            act = _go(t, state, best_done, last_improve)
+            act_lane = jnp.repeat(act, K)
+            sel0 = lambda n, o: jnp.where(
+                act_lane.reshape((lanes,) + (1,) * (n.ndim - 1)), n, o)
+            new_state = jax.tree_util.tree_map(sel0, new_state, state)
+            if lm is not None:
+                lm_state = jax.tree_util.tree_map(sel0, lm_state, loop[2])
+            if use_ctc:
+                sel1 = lambda n, o: jnp.where(act_lane[None, :], n, o)
+                old_ctc = loop[3]
+                ctc_state = type(ctc_state)(
+                    sel1(ctc_state.gamma_n, old_ctc.gamma_n),
+                    sel1(ctc_state.gamma_b, old_ctc.gamma_b),
+                    sel0(ctc_state.score, old_ctc.score))
+            if use_inc:
+                # cache carries lanes on axis 1
+                new_cache = jnp.where(
+                    act_lane.reshape((1, lanes) +
+                                     (1,) * (new_cache.ndim - 2)),
+                    new_cache, cache)
+            improved = improved & act
+        best_done = jnp.where(improved, jnp.maximum(best_done, cur_best),
+                              best_done)
         last_improve = jnp.where(improved, t, last_improve)
-        return (t + 1, state, lm_state, ctc_state, cache, best_done,
-                last_improve)
+        return (t + 1, new_state, lm_state, ctc_state, new_cache,
+                best_done, last_improve)
 
     loop0 = (0, state0, lm_state0, ctc_state0, cache0,
-             jnp.float32(MIN_F32), 0)
+             jnp.full((N,), MIN_F32, jnp.float32),
+             jnp.zeros((N,), jnp.int32))
     _, final_state, *_ = jax.lax.while_loop(cond, body, loop0)
     return final_state
 
@@ -223,8 +264,8 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
                       mesh=None,
                       **kwargs):
     """Batched transformer-decoder beam search: one compiled program per
-    (batch, length-bucket) shape; the per-utterance search loops are
-    vmapped (see att.beam_search_batch for the scheme).
+    (batch, length-bucket) shape; ONE flat search loop over N*K fused
+    (utterance x beam) lanes (see att.beam_search_batch for the scheme).
 
     mesh: optional jax.sharding.Mesh with a "data" axis — the batch is
     sharded over it and GSPMD runs one independent search per shard on
@@ -272,21 +313,17 @@ def beam_search_batch(nnet, variables, batch, lm=None, sos=-1, eos=-1,
                 variables = jax.tree_util.tree_map(cast, variables)
                 enc_out = enc_out.astype(jnp.bfloat16)
 
-            def core(enc, el, ctc):
-                return _search_core(nnet, variables, enc, el, ctc, lm,
-                                    param, ml)
-
             with jax.default_matmul_precision(matmul_precision):
-                if ctc_out is None:
-                    return jax.vmap(lambda e, el: core(e, el, None))(
-                        enc_out, enc_len)
-                return jax.vmap(core)(enc_out, enc_len, ctc_out)
+                return _search_core(nnet, variables, enc_out, enc_len,
+                                    ctc_out, lm, param, ml)
 
         return jax.jit(_run)
 
     step = _BATCH_EXECUTABLES.get(key, _build)
     final = jax.device_get(step(variables, enc_out, enc_len, ctc_out))
-    gather = lambda tree, b: jax.tree_util.tree_map(lambda x: x[b], tree)
+    K = param.beam_size
+    gather = lambda tree, b: jax.tree_util.tree_map(
+        lambda x: x[b * K:(b + 1) * K], tree)
     return [
         extract_nbest(gather(final, b), param, nbest, final=True)
         for b in range(len(batch))

@@ -65,15 +65,18 @@ class BeamState(NamedTuple):
 
 
 def init_beam_state(beam_size: int, max_len: int, sos: int,
-                    num_frames: int) -> BeamState:
-    tokens = jnp.full((beam_size, max_len + 1), sos, dtype=jnp.int32)
-    # only beam 0 is alive at step 0 (all start identical)
-    score = jnp.where(jnp.arange(beam_size) == 0, 0.0, MIN_F32)
+                    num_frames: int, num_utts: int = 1) -> BeamState:
+    """Dense beam over num_utts * beam_size lanes (utterance-major: lane
+    u*K+k is beam k of utterance u). num_utts=1 is the single search."""
+    lanes = num_utts * beam_size
+    tokens = jnp.full((lanes, max_len + 1), sos, dtype=jnp.int32)
+    # only beam 0 of each utterance is alive at step 0 (all start identical)
+    score = jnp.where(jnp.arange(lanes) % beam_size == 0, 0.0, MIN_F32)
     return BeamState(tokens=tokens,
                      score=score,
-                     done=jnp.zeros((beam_size,), dtype=bool),
-                     length=jnp.zeros((beam_size,), dtype=jnp.int32),
-                     coverage=jnp.zeros((beam_size, num_frames)))
+                     done=jnp.zeros((lanes,), dtype=bool),
+                     length=jnp.zeros((lanes,), dtype=jnp.int32),
+                     coverage=jnp.zeros((lanes, num_frames)))
 
 
 def mask_finished_scores(fusion: jnp.ndarray, done: jnp.ndarray,

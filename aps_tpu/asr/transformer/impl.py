@@ -127,14 +127,32 @@ class ApsMultiheadAttention(nn.Module):
     def __call__(self, query, key, value, inj_pose=None,
                  key_padding_mask=None, attn_mask=None,
                  training: bool = False, kv_cache=None):
+        """kv_cache may be BEAM-SHARED: (k, v) with batch Nk < the query
+        batch Nq, Nq = Nk * G (G beams per utterance, utterance-major
+        lanes). Cross-attention is position-independent, so the G beams
+        are folded into the query-length axis and the shared memory is
+        read ONCE per utterance — materializing the K/V per lane would
+        multiply the decode loop's HBM traffic by G (the dominant cost
+        at beam 8). In that mode the per-position attention weights are
+        not returned (the decode path discards them)."""
+        group = 1
         if kv_cache is not None:
             q = self._split_heads(
                 self.in_proj(query)[..., :self.embed_dim])
             k, v = kv_cache
+            if q.shape[0] != k.shape[0]:
+                assert q.shape[0] % k.shape[0] == 0 and attn_mask is None
+                group = q.shape[0] // k.shape[0]
+                L = q.shape[1]
+                q = q.reshape(k.shape[0], group * L,
+                              self.num_heads, self.head_dim)
+                if key_padding_mask is not None:
+                    # lanes of one utterance share the padding row
+                    key_padding_mask = key_padding_mask[::group]
         else:
             q, k, v = self.inp_proj(query, key, value)
-        if self._flash_eligible(query.shape[-2], inj_pose, attn_mask,
-                                training):
+        if group == 1 and self._flash_eligible(query.shape[-2], inj_pose,
+                                               attn_mask, training):
             k_len = None
             if key_padding_mask is not None:
                 # suffix padding mask (True = pad) -> valid lengths
@@ -152,6 +170,11 @@ class ApsMultiheadAttention(nn.Module):
         context, weight = self.context_weight(
             logit, v, key_padding_mask=key_padding_mask,
             attn_mask=attn_mask, training=training)
+        if group > 1:
+            N, GL = context.shape[:2]
+            context = self.out_proj(
+                context.reshape(N * group, GL // group, self.embed_dim))
+            return context, None
         return self.wrap_out(context, weight)
 
 

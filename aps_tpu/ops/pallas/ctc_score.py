@@ -40,9 +40,28 @@ from jax.experimental import pallas as pl
 from aps_tpu.const import MIN_F32
 
 BLOCK = 32  # frames per closed-form block (matches ctc.py)
-# lanes per grid instance: (T x LANE_BLOCK) f32 operands + ~12 live
-# intermediates stay well under the ~16 MB/core VMEM at speech T (<=3000)
-LANE_BLOCK = 256
+# Per grid instance the kernel keeps ~12 live (Tpad, LB) f32 intermediates
+# plus the 4 double-buffered (T, LB) inputs and 2 outputs in VMEM
+# (~16 MB/core). The lane block is therefore scaled DOWN with T so the
+# working set stays inside a conservative budget; below 128 lanes
+# (the minimum tile) the fused path is unsupported and CtcScorer falls
+# back to the portable XLA scorer.
+LANE_BLOCK = 256        # cap (short utterances)
+_LIVE_BUFFERS = 16      # conservative live (Tpad, LB) f32 buffer count
+_VMEM_BUDGET = 12 * 2**20
+
+
+def _lane_block(T: int) -> int:
+    """Largest multiple-of-128 lane block whose (Tpad, LB) working set
+    fits the VMEM budget; 0 if even 128 lanes do not fit."""
+    Tpad = -(-T // BLOCK) * BLOCK
+    lb = _VMEM_BUDGET // (_LIVE_BUFFERS * Tpad * 4)
+    return min(LANE_BLOCK, (lb // 128) * 128)
+
+
+def fused_supported(T: int) -> bool:
+    """True when the fused kernel's VMEM working set fits at T frames."""
+    return _lane_block(T) >= 128
 
 
 def _shift_rows(x, s, fill):
@@ -134,7 +153,12 @@ def _ctc_score_lanes(p_c, gnx, gbx, pb, rok, eosm, old, isf,
                      interpret: bool):
     """pallas_call over a lane-blocked grid; all operands (T, L)/(1, L)."""
     T, L = p_c.shape
-    LB = min(LANE_BLOCK, _round_up(L, 128))
+    lb_max = _lane_block(T)
+    if lb_max < 128:
+        raise ValueError(
+            f"ctc_score_step: T={T} exceeds the fused kernel's VMEM "
+            "budget (see fused_supported); use the portable scorer")
+    LB = min(lb_max, _round_up(L, 128))
     Lp = _round_up(L, LB)
     if Lp != L:
         # edge-replicated pad lanes recompute lane L-1: no -inf/-inf NaN

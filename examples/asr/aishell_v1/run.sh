@@ -24,14 +24,21 @@ nbest=8
 ctc_weight=0.4
 lm_weight=0.2
 len_norm=false
+max_len=50
 test_sets="dev test"
+# overridable workspace roots (CI runs the pipeline against a synthetic
+# corpus in a tmpdir: --data-dir/--exp-dir/--conf-dir)
+data_dir=""
+exp_dir=""
+lm_dir=""
+conf_dir=conf
 
 . ../../../scripts/parse_options.sh 2>/dev/null || true
 
 repo=$(cd ../../.. && pwd)
-data_dir=data/$dataset
-exp_dir=exp/$dataset/$am_exp
-lm_dir=exp/$dataset/nnlm/$lm_exp
+[ -z "$data_dir" ] && data_dir=data/$dataset
+[ -z "$exp_dir" ] && exp_dir=exp/$dataset/$am_exp
+[ -z "$lm_dir" ] && lm_dir=exp/$dataset/nnlm/$lm_exp
 
 beg=$(echo $stage | awk -F '-' '{print $1}')
 end=$(echo $stage | awk -F '-' '{print $2}')
@@ -49,7 +56,7 @@ fi
 if [ $end -ge 2 ] && [ $beg -le 2 ]; then
   echo "Stage 2: training AM ..."
   python $repo/cmd/train_am.py \
-    --conf conf/$am_exp.yaml \
+    --conf $conf_dir/$am_exp.yaml \
     --dict $data_dir/dict \
     --checkpoint $exp_dir \
     --batch-size $batch_size \
@@ -61,7 +68,7 @@ fi
 if [ $end -ge 3 ] && [ $beg -le 3 ]; then
   echo "Stage 3: training RNN LM ..."
   python $repo/cmd/train_lm.py \
-    --conf conf/nnlm/$lm_exp.yaml \
+    --conf $conf_dir/nnlm/$lm_exp.yaml \
     --dict $data_dir/dict \
     --checkpoint $lm_dir \
     --batch-size $lm_batch_size \
@@ -84,7 +91,7 @@ if [ $end -ge 4 ] && [ $beg -le 4 ]; then
       --lm $lm_dir \
       --lm-weight $lm_weight \
       --len-norm $len_norm \
-      --max-len 50
+      --max-len $max_len
   done
 fi
 

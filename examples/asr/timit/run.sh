@@ -18,13 +18,19 @@ beam_size=8
 nbest=4
 ctc_weight=0.4
 len_norm=true
+max_len=80
 test_sets="dev test"
+# overridable workspace roots (CI runs the pipeline against a synthetic
+# corpus in a tmpdir: --data-dir/--exp-dir/--conf-dir)
+data_dir=""
+exp_dir=""
+conf_dir=conf
 
 . ../../../scripts/parse_options.sh 2>/dev/null || true
 
 repo=$(cd ../../.. && pwd)
-data_dir=data/$dataset
-exp_dir=exp/$dataset/$am_exp
+[ -z "$data_dir" ] && data_dir=data/$dataset
+[ -z "$exp_dir" ] && exp_dir=exp/$dataset/$am_exp
 
 beg=$(echo $stage | awk -F '-' '{print $1}')
 end=$(echo $stage | awk -F '-' '{print $2}')
@@ -46,7 +52,7 @@ fi
 if [ $end -ge 2 ] && [ $beg -le 2 ]; then
   echo "Stage 2: training AM ..."
   python $repo/cmd/train_am.py \
-    --conf conf/$am_exp.yaml \
+    --conf $conf_dir/$am_exp.yaml \
     --dict $data_dir/dict \
     --checkpoint $exp_dir \
     --batch-size $batch_size \
@@ -67,7 +73,7 @@ if [ $end -ge 3 ] && [ $beg -le 3 ]; then
       --nbest $nbest \
       --ctc-weight $ctc_weight \
       --len-norm $len_norm \
-      --max-len 80
+      --max-len $max_len
   done
 fi
 

@@ -14,12 +14,17 @@ epochs=100
 batch_size=32
 prog_interval=100
 sr=8000
+# overridable workspace roots (CI runs the pipeline against a synthetic
+# corpus in a tmpdir: --data-dir/--exp-dir/--conf-dir)
+data_dir=""
+exp_dir=""
+conf_dir=conf
 
 . ../../../scripts/parse_options.sh 2>/dev/null || true
 
 repo=$(cd ../../.. && pwd)
-data_dir=data/$dataset
-exp_dir=exp/$dataset/$exp
+[ -z "$data_dir" ] && data_dir=data/$dataset
+[ -z "$exp_dir" ] && exp_dir=exp/$dataset/$exp
 
 beg=$(echo $stage | awk -F '-' '{print $1}')
 end=$(echo $stage | awk -F '-' '{print $2}')
@@ -33,7 +38,7 @@ fi
 if [ $end -ge 2 ] && [ $beg -le 2 ]; then
   echo "Stage 2: training ..."
   python $repo/cmd/train_ss.py \
-    --conf conf/$exp.yaml \
+    --conf $conf_dir/$exp.yaml \
     --checkpoint $exp_dir \
     --batch-size $batch_size \
     --epochs $epochs \

@@ -24,6 +24,19 @@ import jax  # noqa: E402
 if not ON_CHIP:
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the fast tier is compile-dominated (a cold
+# run spends ~90% of its wall time in XLA). Cached executables are keyed by
+# platform+config hash, so the CPU tier and the real-chip tier never
+# collide. Threshold 0.5 s: beam-search/trainer programs take minutes to
+# compile; trivial jits aren't worth the disk.
+from aps_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
