@@ -71,6 +71,19 @@ def beam_search(nnet,
                          final=True)
 
 
+# max_len at/above which the search uses incremental decoding
+# (decode_step_inc) instead of full-prefix rescoring. History: the
+# round-2 vmapped search measured full rescore AHEAD at max_len 40
+# (123x vs 94x RT) because its steps were bookkeeping-bound, so the
+# crossover sat at 128. The round-4 flat-lane search is
+# decoder-compute-bound instead, and the same A/B now puts incremental
+# decoding 1.51x ahead at max_len 40 on the flagship bench config
+# (1993.6x vs 1319.3x RT, identical transcripts on CPU where both
+# programs round alike — BENCHMARKS.md round 4). Full rescore keeps the
+# very-short regime where the prefix buffer is tiny.
+INC_CROSSOVER = 32
+
+
 def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
                  param, max_len: int):
     """Traced transformer-decoder search -> final BeamState over flat
@@ -97,12 +110,10 @@ def _search_core(nnet, variables, enc_out, enc_len, ctc_out, lm,
     state0 = init_beam_state(K, max_len, param.sos, T, num_utts=N)
     lm_state0 = lm.init_state(lanes) if lm is not None else None
     ctc_state0 = scorer.init_state() if use_ctc else None
-    # Incremental decoding (per-layer history cache, O(L) per step) only
-    # pays off for long hypothesis lengths: at speech-scale max_len the
-    # full-prefix rescore is pure dense matmuls the MXU prefers (measured
-    # on v5e at max_len=40: full 123x RT vs incremental 94x RT), while the
-    # incremental path's per-step cache gathers dominate. Crossover ~128.
-    use_inc = hasattr(nnet, "decode_step_inc") and max_len >= 128
+    # Incremental decoding (per-layer history cache, O(L) per step) vs
+    # the full-prefix rescore (O(L^2) but pure dense matmuls): see
+    # INC_CROSSOVER below for the measured regimes.
+    use_inc = hasattr(nnet, "decode_step_inc") and max_len >= INC_CROSSOVER
     cache0 = nnet.apply(variables, lanes, max_len,
                         method="decode_init_cache") if use_inc else ()
     # cross-attention K/V of the (loop-invariant) encoder memory, computed

@@ -78,7 +78,11 @@ def run(args):
         top.flush()
         logger.info(f"Processed {tot_utts} utterances ...")
 
-    for key, src in src_reader:
+    # prefetch wav reads on a background thread so disk IO overlaps
+    # the device-side batched searches (aps_tpu/eval/pipeline.py)
+    from aps_tpu.eval.pipeline import prefetch_iter
+    for key, src in prefetch_iter(iter(src_reader),
+                                  depth=2 * args.batch_size):
         bucket = quantize_dur(src.shape[-1], base=args.sr)
         buckets.setdefault(bucket, []).append((key, src))
         tot_dur += src.shape[-1] / args.sr

@@ -12,10 +12,16 @@ import aps_tpu.distributed as dist
 
 
 def run(args):
+    # multi-process rendezvous MUST precede any backend-initialising jax
+    # call (set_seed builds a PRNGKey; the compilation cache touches the
+    # client): jax.distributed.initialize rejects an already-live backend
+    dist.init(getattr(args, "distributed", "none"),
+              coordinator_address=getattr(args, "coordinator_address", ""),
+              num_processes=getattr(args, "num_processes", 1),
+              process_id=getattr(args, "process_id", 0))
     from aps_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     set_seed(args.seed)
-    dist.init(getattr(args, "distributed", "none"))
     conf, vocab = load_lm_conf(args.conf, args.dict)
 
     print(f"Arguments in args:\n{pprint.pformat(vars(args))}", flush=True)

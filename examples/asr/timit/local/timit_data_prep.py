@@ -66,7 +66,18 @@ def read_phn(path: str):
 
 
 def sph_duration(path: str) -> float:
-    """NIST sphere header: plain-text key/value pairs in the first 1 kB."""
+    """Duration from the NIST sphere header (plain-text key/value pairs in
+    the first 1 kB), or the RIFF header for corpora already converted to
+    plain wav."""
+    with open(path, "rb") as fd:
+        magic = fd.read(4)
+    if magic == b"RIFF":
+        import wave
+        try:
+            with wave.open(path, "rb") as w:
+                return w.getnframes() / w.getframerate()
+        except Exception:
+            return -1.0
     with open(path, "rb") as fd:
         head = fd.read(1024).decode("latin-1", errors="replace")
     fields = dict()

@@ -59,6 +59,7 @@ if [ $end -ge 4 ] && [ $beg -le 4 ]; then
   echo "Stage 4: SiSNR scoring ..."
   python $repo/cmd/compute_ss_metric.py \
     --metric sisnr \
+    --sr $sr \
     $exp_dir/separated/spk1.scp,$exp_dir/separated/spk2.scp \
     $data_dir/tt/spk1.scp,$data_dir/tt/spk2.scp
 fi

@@ -5,4 +5,4 @@
 #       --distributed jax --coordinator-address host0:1234 \
 #       --num-processes N --process-id $I [extra args...]
 set -eu
-exec scripts/train.sh "$@"
+exec "$(dirname "$0")/train.sh" "$@"

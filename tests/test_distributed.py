@@ -1,10 +1,19 @@
 """Multi-host smoke tests: two real CPU processes through the distributed
-facade (the reference had zero multi-process tests — SURVEY.md §4 lesson)."""
+facade AND the real launch path (scripts/distributed_train.sh ->
+cmd/train_ss.py -> start_trainer), with loss parity vs the single-process
+run, chief-only checkpointing and a clean-failure case (the reference had
+zero multi-process tests — SURVEY.md §4 lesson; its launcher is
+/root/reference/scripts/distributed_train.sh:62-110)."""
 
 import os
+import pickle
 import socket
 import subprocess
 import sys
+
+import numpy as np
+import pytest
+import yaml
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -108,3 +117,169 @@ def test_sharded_batched_decode_matches_unsharded():
         assert [h["trans"] for h in p] == [h["trans"] for h in s]
         np.testing.assert_allclose([h["score"] for h in p],
                                    [h["score"] for h in s], rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# the real launch path: scripts/distributed_train.sh -> cmd/train_ss.py ->
+# start_trainer (VERDICT r03 missing #2)
+# ---------------------------------------------------------------------------
+
+
+def _subproc_env():
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.pathsep.join(
+                   [REPO, os.environ.get("PYTHONPATH", "")]))
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+def _make_workspace(root, n_train=8, n_valid=4):
+    """Kaldi-style workspace: conf/toy/1a.yaml + wavs, abs data paths."""
+    from aps_tpu.io import write_audio
+    rng = np.random.default_rng(11)
+    sr, S = 16000, 16000  # multiple of the TCN stride (L/2=10)
+    scps = {}
+    for sub, n in (("tr", n_train), ("cv", n_valid)):
+        files = {name: open(root / f"{sub}_{name}.scp", "w")
+                 for name in ("mix", "spk1", "spk2")}
+        for i in range(n):
+            t = np.linspace(0, 1, S)
+            a = 0.3 * np.sin(2 * np.pi * rng.uniform(200, 400) * t)
+            b = 0.3 * np.sin(2 * np.pi * rng.uniform(500, 800) * t)
+            for name, sig in (("mix", a + b), ("spk1", a), ("spk2", b)):
+                path = root / f"{sub}_{name}_{i}.wav"
+                write_audio(str(path), sig.astype(np.float32), sr=sr)
+                files[name].write(f"utt{i} {path}\n")
+        for fd in files.values():
+            fd.close()
+        scps[sub] = {name: str(root / f"{sub}_{name}.scp")
+                     for name in ("mix", "spk1", "spk2")}
+    conf = {
+        "nnet": "sse@time_tcn",
+        "nnet_conf": {"L": 20, "N": 16, "X": 1, "R": 1, "B": 16, "H": 32,
+                      "num_spks": 2, "non_linear": "relu"},
+        "task": "sse@sisnr",
+        "task_conf": {"num_spks": 2, "permute": True},
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 1e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 2},
+            "clip_gradient": 5.0,
+            "no_impr": 10,
+            "report_metrics": ["loss"],
+        },
+        "data_conf": {
+            "fmt": "se@chunk",
+            "loader": {"chunk_size": 16000, "sr": sr},
+            "train": {"mix_scp": scps["tr"]["mix"],
+                      "ref_scp": f"{scps['tr']['spk1']},"
+                                 f"{scps['tr']['spk2']}"},
+            "valid": {"mix_scp": scps["cv"]["mix"],
+                      "ref_scp": f"{scps['cv']['spk1']},"
+                                 f"{scps['cv']['spk2']}"},
+        },
+    }
+    conf_dir = root / "conf" / "toy"
+    conf_dir.mkdir(parents=True)
+    with open(conf_dir / "1a.yaml", "w") as fd:
+        yaml.dump(conf, fd)
+
+
+def _launch(cwd, extra, wait=True, timeout=600):
+    args = ["bash", os.path.join(REPO, "scripts", "distributed_train.sh"),
+            "ss", "toy", "1a", "--epochs", "2", "--batch-size", "4",
+            "--seed", "777", "--prog-interval", "1"] + \
+        [str(a) for a in extra]
+    proc = subprocess.Popen(args, cwd=cwd, env=_subproc_env(),
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    if not wait:
+        return proc
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out = proc.communicate()[0] or "TIMEOUT"
+    return proc.returncode, out
+
+
+def _best_valid_loss(exp_dir):
+    with open(os.path.join(exp_dir, "last.ckpt"), "rb") as fd:
+        stats = pickle.load(fd)
+    # StopCriterion tracks sign * value with sign=+1 for loss ("min")
+    return float(stats["stop_state"]["best_criterion"]) \
+        if "best_criterion" in stats["stop_state"] \
+        else float(stats["stop_state"]["best"])
+
+
+@pytest.mark.slow
+def test_distributed_train_sh_parity_and_chief_only(tmp_path):
+    """2 processes through scripts/distributed_train.sh --distributed jax
+    must (a) reach the same best valid loss as the single-process run on
+    the identical global batches and (b) write checkpoints/train.yaml
+    from exactly one chief."""
+    single, ws0, ws1 = (tmp_path / n for n in ("single", "p0", "p1"))
+    for ws in (single, ws0, ws1):
+        ws.mkdir()
+        _make_workspace(ws)
+    rc, out = _launch(single, [])
+    assert rc == 0, out[-2000:]
+    port = _free_port()
+    dist_args = ["--distributed", "jax", "--coordinator-address",
+                 f"127.0.0.1:{port}", "--num-processes", "2"]
+    procs = [
+        _launch(ws, dist_args + ["--process-id", str(i)], wait=False)
+        for i, ws in enumerate((ws0, ws1))
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out = p.communicate()[0] or "TIMEOUT"
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
+    exp = os.path.join("exp", "toy", "1a")
+    # chief-only artifacts: process 0 wrote them, process 1 did not
+    for name in ("best.ckpt", "last.ckpt", "train.yaml"):
+        assert os.path.exists(os.path.join(ws0, exp, name)), name
+        assert not os.path.exists(os.path.join(ws1, exp, name)), name
+    # loss parity: both runs consumed the same deterministic global
+    # batches (each process loads the full batch; the mesh shards it)
+    ref = _best_valid_loss(os.path.join(single, exp))
+    got = _best_valid_loss(os.path.join(ws0, exp))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_distributed_train_process_death_fails_clean(tmp_path):
+    """Killing one process must fail the surviving one (bounded error,
+    not a hang)."""
+    import time
+    ws0, ws1 = tmp_path / "p0", tmp_path / "p1"
+    for ws in (ws0, ws1):
+        ws.mkdir()
+        _make_workspace(ws)
+    port = _free_port()
+    dist_args = ["--distributed", "jax", "--coordinator-address",
+                 f"127.0.0.1:{port}", "--num-processes", "2",
+                 "--epochs", "50"]
+    procs = [
+        _launch(ws, dist_args + ["--process-id", str(i)], wait=False)
+        for i, ws in enumerate((ws0, ws1))
+    ]
+    time.sleep(20)  # let both join the coordination service + start
+    procs[1].kill()
+    procs[1].communicate()
+    try:
+        out, _ = procs[0].communicate(timeout=300)
+        rc = procs[0].returncode
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        out = procs[0].communicate()[0] or ""
+        rc = None
+    assert rc is not None and rc != 0, \
+        f"survivor should fail cleanly, rc={rc}\n{(out or '')[-2000:]}"

@@ -426,7 +426,7 @@ def test_run_sh_timit_e2e(tmp_path):
         },
         "nnet": "asr@att",
         "nnet_conf": {
-            "input_size": 24, "enc_type": "common_rnn",
+            "input_size": 24, "enc_type": "pytorch_rnn",
             "enc_proj": 32,
             "enc_kwargs": {"rnn": "lstm", "hidden": 32, "num_layers": 1,
                            "bidirectional": True},

@@ -389,6 +389,44 @@ def test_ctc_score_fused_compiled(rng):
         last = cand.reshape(-1)[keep]
 
 
+def test_ctc_score_fused_wide_grid_compiled(rng):
+    """The compiled lane-blocked grid with MULTIPLE instances (Lp/LB > 1)
+    on real hardware: N stacked utterances make N*B*C = 768 lanes > the
+    256-lane block, so the kernel's grid indexing itself is exercised
+    compiled (ADVICE r03: the multi-instance path was CPU-interpret-only).
+    The flat multi-utterance scorer (the batched search's layout) must
+    match per-utterance portable scorers."""
+    from aps_tpu.asr.beam_search.ctc import CtcScorer
+    T, V, N, B, C = 64, 128, 8, 8, 12
+    eos = V - 2
+    logits = jnp.asarray(rng.standard_normal((N, T, V)), dtype=jnp.float32)
+    fus = CtcScorer(logits, eos=eos, beam_size=B, use_pallas=True)
+    refs = [CtcScorer(logits[u], eos=eos, beam_size=B, use_pallas=False)
+            for u in range(N)]
+    s_fus = fus.init_state()
+    s_refs = [r.init_state() for r in refs]
+    last = jnp.zeros((N * B,), dtype=jnp.int32)
+    for step in range(2):
+        cand = jnp.asarray(rng.integers(0, V - 1, size=(N * B, C)),
+                           dtype=jnp.int32)
+        d_fus, n_fus = fus(s_fus, last, cand, step == 0)
+        keep_all = []
+        for u in range(N):
+            cu = cand[u * B:(u + 1) * B]
+            d_ref, n_ref = refs[u](s_refs[u], last[u * B:(u + 1) * B],
+                                   cu, step == 0)
+            np.testing.assert_allclose(
+                np.asarray(d_fus[u * B:(u + 1) * B]), np.asarray(d_ref),
+                atol=1e-4)
+            keep = jnp.asarray(rng.integers(0, B * C, size=(B,)),
+                               dtype=jnp.int32)
+            s_refs[u] = refs[u].update_var(n_ref, keep)
+            keep_all.append(u * B * C + keep)
+        keep_flat = jnp.concatenate(keep_all)
+        s_fus = fus.update_var(n_fus, keep_flat)
+        last = cand.reshape(-1)[keep_flat]
+
+
 def test_rnnt_loss_and_grad_on_chip(rng):
     """The scan-based RNN-T loss on the real chip vs a host-side naive
     DP (same check as tests/test_nnet_asr.py, but executed by the TPU
@@ -457,7 +495,53 @@ def test_transducer_search_on_chip(rng):
     x = jnp.asarray(rng.standard_normal(8000) * 0.1, dtype=jnp.float32)
     y = jnp.full((1, 5), V - 1, dtype=jnp.int32)
     variables = nnet.init(rngs, x[None], None, y, None, training=False)
-    # f32 matmuls (the TPU default lowers f32 matmuls to bf16 passes)
+    # Train briefly ON CHIP so logits are well-separated (VERDICT r03
+    # weak #4: on a random-init model token logits are near-tied and a
+    # one-ulp fusion difference flips a token, which forced a score-only
+    # check; with real separations the batched and single programs must
+    # agree at the TRANSCRIPT level)
+    import optax
+    task = aps_task("asr@transducer", nnet, blank=V - 1)
+    rng2 = np.random.default_rng(3)
+    tones = [600.0 + 700.0 * k for k in range(4)]
+    B, To = 8, 4
+    seg = 2000
+
+    def make_batch():
+        ys = rng2.integers(0, 4, size=(B, To))
+        t_ax = np.arange(seg) / 16000.0
+        wavs = np.stack([
+            np.concatenate([
+                0.3 * np.sin(2 * np.pi * tones[t] * t_ax) for t in row
+            ]) for row in ys
+        ]).astype(np.float32)
+        wavs += 0.01 * rng2.standard_normal(wavs.shape).astype(np.float32)
+        return {
+            "src_pad": jnp.asarray(wavs),
+            "src_len": jnp.full((B,), wavs.shape[-1]),
+            "tgt_pad": jnp.asarray(ys, dtype=jnp.int32),
+            "tgt_len": jnp.full((B,), To),
+        }
+
+    egs0 = make_batch()
+    tvars = task.init(rngs, egs0, training=True)
+    params, tx = tvars["params"], optax.adam(3e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, egs):
+        def loss_fn(p):
+            out = task.apply({"params": p}, egs, training=False)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(60):
+        params, opt_state, loss = step(params, opt_state, make_batch())
+    variables = {"params": params}
+
     with jax.default_matmul_precision("highest"):
         g = greedy_search(nnet, variables, x)
         b1 = beam_search(nnet, variables, x, beam_size=1, nbest=1,
@@ -466,25 +550,20 @@ def test_transducer_search_on_chip(rng):
                          len_norm=False)
         assert g[0]["trans"] == b1[0]["trans"]
         assert b4[0]["score"] >= b1[0]["score"] - 1e-4
-        xs = [x, jnp.asarray(rng.standard_normal(6400) * 0.1,
-                             dtype=jnp.float32)]
+        # held-out tone utterances through the TRAINED model: the flat
+        # batched search must reproduce the single-utterance transcripts
+        # exactly on the real chip
+        eval_egs = make_batch()
+        xs = [eval_egs["src_pad"][i] for i in range(4)] + [x]
         batched = beam_search_batch(nnet, variables, xs, beam_size=4,
                                     nbest=1, len_norm=False)
         for x_i, hyps in zip(xs, batched):
             single = beam_search(nnet, variables, x_i, beam_size=4,
                                  nbest=1, len_norm=False)
-            # On chip the vmapped program fuses (hence rounds)
-            # differently from the single-utterance one, and on a
-            # random-init model the token logits are near-tied, so one
-            # last-ulp difference flips a token mid-transcript (observed
-            # at index 28 even at highest precision). The invariant that
-            # is meaningful on the real chip is that batching loses no
-            # hypothesis quality; tests/test_beam_search.py pins the
-            # exact transcript parity on CPU where both programs round
-            # identically.
+            assert hyps[0]["trans"] == single[0]["trans"]
             np.testing.assert_allclose(hyps[0]["score"],
                                        single[0]["score"],
-                                       rtol=1e-3, atol=1e-3)
+                                       rtol=1e-4, atol=1e-4)
 
 
 # ------------------------------------------------------------- trainer sync
