@@ -42,11 +42,11 @@ ROUND1 = {
     "train": 3303.0,  # BENCHMARKS.md train-step RTF, bf16 (r2 corrected)
     "separate": 2681.0,  # BENCHMARKS.md Conv-TasNet bf16 batch 32 x 4 s
 }
-# previous round's best (BENCH_r02.json), same configuration per metric
+# previous round's best (BENCH_r03.json), same configuration per metric
 PREV_ROUND = {
-    "decode_approx": 1241.21,
-    "train": 46118.42,
-    "separate": 4132.31,
+    "decode_approx": 1223.89,
+    "train": 50060.07,
+    "separate": 9314.86,
 }
 # TPU v5e bf16 peak (MXU): ~197 TFLOP/s; MFU is only estimated on TPU runs
 V5E_BF16_PEAK = 197e12

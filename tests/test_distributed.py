@@ -133,8 +133,11 @@ def _subproc_env():
     return env
 
 
-def _make_workspace(root, n_train=8, n_valid=4):
-    """Kaldi-style workspace: conf/toy/1a.yaml + wavs, abs data paths."""
+def _make_workspace(root, n_train=10, n_valid=4):
+    """Kaldi-style workspace: conf/toy/1a.yaml + wavs, abs data paths.
+    n_train=10 with --batch-size 4 leaves an UNEVEN final batch (2 utts)
+    every epoch: the 2-process run must shard it 1+1 and still match the
+    single-process loss exactly."""
     from aps_tpu.io import write_audio
     rng = np.random.default_rng(11)
     sr, S = 16000, 16000  # multiple of the TCN stride (L/2=10)

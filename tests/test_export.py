@@ -122,6 +122,7 @@ def test_deploy_rt_separator_wave_roundtrip(tmp_path, rng):
                                atol=1e-4)
 
 
+@pytest.mark.medium
 def test_streaming_asr_demo_matches_offline(tmp_path, rng):
     """demos/streaming_asr: build the toy checkpoint, stream a wav through
     rt_ctc.py chunk by chunk, and assert the streamed greedy CTC tokens

@@ -102,6 +102,7 @@ def test_att_asr_forward(rng, att_type):
                                        ("xfmr", "xl"), ("cfmr", "abs"),
                                        ("cfmr", "rel"), ("cfmr", "xl"),
                                        ("xfmr", "conv1d")])
+@pytest.mark.medium
 def test_xfmr_asr_forward(rng, arch, pose):
     x, x_len, y, y_len = make_egs(rng, vocab=20)
     enc_kwargs = dict(XFMR_ENC_KW)
@@ -213,6 +214,7 @@ def test_rnnt_loss_brute_force(rng):
 
 @pytest.mark.parametrize("enh_type", ["google_clp", "rnn_mask_mvdr",
                                       "time_invar", "time_variant"])
+@pytest.mark.medium
 def test_enh_att_asr(rng, enh_type):
     from aps_tpu.transform import EnhTransform
     enh_transform = EnhTransform(feats="spectrogram-log-cmvn",
@@ -253,6 +255,7 @@ def test_enh_att_asr(rng, enh_type):
     assert np.isfinite(np.asarray(dec_out)).all()
 
 
+@pytest.mark.medium
 def test_encoder_remat_gradients_match(rng):
     """remat=true rematerializes layers in backward: same values/grads."""
     import jax

@@ -55,6 +55,7 @@ def test_freq_tcn(rng):
 
 
 @pytest.mark.parametrize("name", ["sse@time_dprnn", "sse@freq_dprnn"])
+@pytest.mark.medium
 def test_dprnn(rng, name):
     kwargs = dict(num_spks=2, num_layers=2, rnn_hidden=32)
     if name == "sse@freq_dprnn":
@@ -69,6 +70,7 @@ def test_dprnn(rng, name):
 
 
 @pytest.mark.parametrize("name", ["sse@time_sepformer", "sse@freq_sepformer"])
+@pytest.mark.medium
 def test_sepformer(rng, name):
     arch_kwargs = {"att_dim": 32, "nhead": 4, "feedforward_dim": 64}
     kwargs = dict(num_spks=2, num_blocks=1, num_layers=1,
@@ -85,6 +87,7 @@ def test_sepformer(rng, name):
 
 
 @pytest.mark.parametrize("cplx", [True, False])
+@pytest.mark.medium
 def test_dccrn(rng, cplx):
     nnet = aps_sse_nnet("sse@dccrn")(
         enh_transform=TRANSFORM, cplx=cplx, num_spks=2,
@@ -111,6 +114,7 @@ def test_dcunet(rng, cplx):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.medium
 def test_dense_unet(rng):
     nnet = aps_sse_nnet("sse@dense_unet")(
         enh_transform=TRANSFORM, num_spks=2,
@@ -153,6 +157,7 @@ def test_freq_xfmr(rng):
     check_wave_out(out, 2, 2)
 
 
+@pytest.mark.medium
 def test_phasen(rng):
     nnet = aps_sse_nnet("sse@phasen")(enh_transform=TRANSFORM,
                                       channel_amp=6, channel_pha=4,

@@ -165,6 +165,7 @@ def test_tcn_block_kernel_matches_reference_math(rng):
 
 
 @pytest.mark.parametrize("mc", ["none", "learn"])
+@pytest.mark.medium
 def test_tcn_fused_eval_matches_apply(rng, mc):
     """make_fused_eval (xla + pallas-interpret) == canonical apply."""
     import jax.numpy as jnp
@@ -200,6 +201,7 @@ def test_tcn_fused_eval_matches_apply(rng, mc):
     assert gln.make_fused_eval(v2) is None
 
 
+@pytest.mark.medium
 def test_ctc_score_step_fused_matches_portable(rng):
     """The fused Pallas CTC prefix-scorer step (interpret mode) must match
     the portable XLA path over a multi-step beam loop incl. update_var

@@ -54,6 +54,7 @@ def run_loss_and_grad(task, egs):
     return float(loss), gnorm, out
 
 
+@pytest.mark.medium
 def test_ctc_task(rng):
     egs = make_egs(rng)
     nnet = aps_asr_nnet("asr@ctc")(input_size=80, vocab_size=20,
@@ -66,6 +67,7 @@ def test_ctc_task(rng):
 
 
 @pytest.mark.parametrize("lsm,ctc_weight", [(0, 0), (0.1, 0), (0.1, 0.5)])
+@pytest.mark.medium
 def test_ctc_xent_task(rng, lsm, ctc_weight):
     egs = make_egs(rng)
     egs["#ssr"] = jnp.float32(0.2)
@@ -81,6 +83,7 @@ def test_ctc_xent_task(rng, lsm, ctc_weight):
     assert 0 <= float(out["accu"]) <= 1
 
 
+@pytest.mark.medium
 def test_transducer_task(rng):
     egs = make_egs(rng, To=6)
     nnet = aps_asr_nnet("asr@transducer")(

@@ -71,6 +71,7 @@ def make_trainer(tmp_path, task, **kwargs):
     return cls(task, **base)
 
 
+@pytest.mark.medium
 def test_trainer_loss_decreases(tmp_path):
     task = build_task()
     trainer = make_trainer(tmp_path, task)
@@ -193,6 +194,7 @@ def test_trainer_weight_noise(tmp_path):
     assert (tmp_path / "wn" / "best.ckpt").exists()
 
 
+@pytest.mark.medium
 def test_trainer_profile_trace(tmp_path):
     """profile=dir captures an xplane trace of the configured steps."""
     task = build_task()
@@ -289,6 +291,7 @@ def test_trainer_oom_step_is_skipped(tmp_path, monkeypatch):
         trainer.train_one_step(trainer.prep_egs(next(iter(loader))))
 
 
+@pytest.mark.medium
 def test_trainer_uneven_batch_trims_and_shards(tmp_path):
     """A batch of 12 on an 8-device mesh is trimmed to 8 (drop-remainder)
     and sharded over 'data' — not replicated (VERDICT r1 missing #8)."""
@@ -340,6 +343,7 @@ def test_trainer_dp_matches_single_device(tmp_path):
     np.testing.assert_allclose(losses["dp8"], losses["single"], rtol=2e-4)
 
 
+@pytest.mark.medium
 def test_trainer_tensor_parallel_resume(tmp_path):
     """Resume under TP: restored optimizer moments must come back with the
     parameter shardings, not default placement (VERDICT r1 weak #4)."""
