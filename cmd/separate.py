@@ -66,24 +66,29 @@ class Separator(NnetEvaluator):
         zero-pads the input onto a geometric length grid so only a few
         programs ever compile across a test set (outputs sliced back to
         the true length); set <= 1 for exact per-length compilation."""
-        src = jnp.asarray(src, dtype=self.dtype)
+        # host-side pad/slice + host-side dtype cast: on a networked
+        # device every extra dispatch is a round trip, and bf16 upload
+        # halves the transfer bytes
+        src = np.asarray(src, dtype=np.float32)
         N = src.shape[-1]
         if mode != "time":
             # freq mode returns TF masks/spectra: frame counts don't map
             # onto sample counts, so run exact (no length grid, no chunks)
-            return self.nnet.apply(self.variables, src, mode=mode,
-                                   method="infer")
+            return self.nnet.apply(self.variables,
+                                   jnp.asarray(src.astype(self.dtype)),
+                                   mode=mode, method="infer")
         infer = self._jit_infer
         if chunk_len <= 0 or N <= chunk_len:
             if pad_grid > 1:
                 from aps_tpu.loader.utils import quantize_len
                 S = quantize_len(N, floor=16000, factor=pad_grid)
                 widths = [(0, 0)] * (src.ndim - 1) + [(0, S - N)]
-                sep = infer(self.variables, jnp.pad(src, widths))
+                sep = infer(self.variables,
+                            np.pad(src, widths).astype(self.dtype))
                 if isinstance(sep, (list, tuple)):
                     return [s[..., :N] for s in sep]
                 return sep[..., :N]
-            return infer(self.variables, src)
+            return infer(self.variables, src.astype(self.dtype))
         lctx = (chunk_len - chunk_hop) // 2
         rctx = chunk_len - chunk_hop - lctx
         stitcher = ChunkStitcher(chunk_hop, lctx, rctx)
@@ -95,36 +100,49 @@ class Separator(NnetEvaluator):
             if end - beg < chunk_len:
                 pad = chunk_len - (end - beg)
                 widths = [(0, 0)] * (seg.ndim - 1) + [(0, pad)]
-                seg = jnp.pad(seg, widths)
-            sep = infer(self.variables, seg)
+                seg = np.pad(seg, widths)
+            sep = infer(self.variables, seg.astype(self.dtype))
             chunks.append([np.asarray(s) for s in sep]
                           if isinstance(sep, (list, tuple))
                           else np.asarray(sep))
             beg += chunk_hop
         return stitcher.stitch(chunks, N)
 
-    def run_batch(self, srcs, pad_grid: float = 1.25):
+    def run_batch_async(self, srcs, pad_grid: float = 1.25):
         """Batched separation: stack mono utterances padded onto the
-        geometric grid, run the (training-interface) batch forward once.
-        Returns per-utterance output lists sliced to true lengths. The
-        zero padding can slightly perturb the last receptive field of
-        shorter utterances; use batch size 1 for exact evaluation."""
+        geometric grid ON HOST, run the (training-interface) batch
+        forward once, and return a zero-arg `fetch()` that pulls the
+        WHOLE output batch in one device->host transfer and slices per
+        utterance on host. The split matters on a networked device
+        (the bench chip sits behind a tunnel): per-utterance device
+        pads/slices cost ~50 dispatch round-trips per batch, and an
+        inline fetch blocks the next batch's dispatch — calling
+        fetch() from a worker thread overlaps transfer with compute.
+        The zero padding can slightly perturb the last receptive field
+        of shorter utterances; use batch size 1 for exact evaluation."""
         from aps_tpu.loader.utils import quantize_len
         lens = [int(np.asarray(s).shape[-1]) for s in srcs]
         S = quantize_len(max(lens), floor=16000,
                          factor=pad_grid if pad_grid > 1 else 1.0)
-        batch = jnp.stack([
-            jnp.pad(jnp.asarray(s, dtype=self.dtype), (0, S - l))
+        batch = np.stack([
+            np.pad(np.asarray(s, dtype=np.float32), (0, S - l))
             for s, l in zip(srcs, lens)
-        ])
-        sep = self._jit_fwd(self.variables, batch)
-        outs = []
-        for b, l in enumerate(lens):
-            if isinstance(sep, (list, tuple)):
-                outs.append([s[b, ..., :l] for s in sep])
-            else:
-                outs.append(sep[b, ..., :l])
-        return outs
+        ]).astype(self.dtype)  # cast on host: halves the tunnel upload
+        sep = self._jit_fwd(self.variables, jnp.asarray(batch))
+
+        def fetch():
+            out = jax.device_get(sep)
+            if isinstance(out, (list, tuple)):
+                return [[s[b, ..., :l] for s in out]
+                        for b, l in enumerate(lens)]
+            return [out[b, ..., :l] for b, l in enumerate(lens)]
+
+        return fetch
+
+    def run_batch(self, srcs, pad_grid: float = 1.25):
+        """run_batch_async with an inline fetch: per-utterance host
+        arrays sliced to true lengths."""
+        return self.run_batch_async(srcs, pad_grid=pad_grid)()
 
 
 def run(args):
@@ -181,26 +199,41 @@ def run(args):
         writer.submit(_write_wavs, items)
 
     pending = []
+    # depth-1 batch pipeline: after dispatching batch i (async), drain
+    # batch i-1 — its device->host fetch overlaps batch i's compute
+    inflight = None  # (items, fetch)
+
+    def drain():
+        nonlocal inflight
+        if inflight is not None:
+            items, fetch = inflight
+            inflight = None
+            for (k, _), sep in zip(items, fetch()):
+                emit(k, sep)
+
+    def dispatch(items):
+        nonlocal inflight
+        fetch = separator.run_batch_async([m for _, m in items],
+                                          pad_grid=args.pad_grid)
+        drain()
+        inflight = (items, fetch)
+
     for key, mix in prefetch_iter(iter(reader), depth=2 * args.batch_size):
         tot_dur += mix.shape[-1] / args.sr
         if (args.mode == "time" and args.batch_size > 1 and mix.ndim == 1
                 and args.chunk_len <= 0):
             pending.append((key, mix))
             if len(pending) == args.batch_size:
-                outs = separator.run_batch([m for _, m in pending],
-                                           pad_grid=args.pad_grid)
-                for (k, _), sep in zip(pending, outs):
-                    emit(k, sep)
+                dispatch(pending)
                 pending = []
             continue
+        drain()
         emit(key, separator.run(mix, chunk_hop=args.chunk_hop,
                                 chunk_len=args.chunk_len, mode=args.mode,
                                 pad_grid=args.pad_grid))
     if pending:
-        outs = separator.run_batch([m for _, m in pending],
-                                   pad_grid=args.pad_grid)
-        for (k, _), sep in zip(pending, outs):
-            emit(k, sep)
+        dispatch(pending)
+    drain()
     writer.close()
     # index the outputs so scoring tools can consume them directly
     for name, entries in scps.items():

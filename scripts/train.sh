@@ -6,16 +6,18 @@ set -eu
 task=$1; data=$2; exp_id=$3; shift 3
 # conf/exp/data live in the CURRENT workspace (kaldi-style); the cmd/
 # entries resolve against the repo this script ships in, so a training
-# workspace does not need to be the repo checkout itself
+# workspace does not need to be the repo checkout itself.
+# exec: the trainer replaces this shell, so signals sent to the
+# launcher (schedulers, tests) reach the python process directly
 repo=$(cd "$(dirname "$0")/.." && pwd)
 conf=conf/$data/$exp_id.yaml
 cpt=exp/$data/$exp_id
 [ ! -f "$conf" ] && echo "$0: missing config $conf" && exit 1
 case $task in
-  am) python $repo/cmd/train_am.py --conf "$conf" --checkpoint "$cpt" \
+  am) exec python $repo/cmd/train_am.py --conf "$conf" --checkpoint "$cpt" \
         --dict data/$data/dict "$@" ;;
-  lm) python $repo/cmd/train_lm.py --conf "$conf" --checkpoint "$cpt" \
+  lm) exec python $repo/cmd/train_lm.py --conf "$conf" --checkpoint "$cpt" \
         --dict data/$data/dict "$@" ;;
-  ss) python $repo/cmd/train_ss.py --conf "$conf" --checkpoint "$cpt" "$@" ;;
+  ss) exec python $repo/cmd/train_ss.py --conf "$conf" --checkpoint "$cpt" "$@" ;;
   *) echo "Unknown task: $task" && exit 1 ;;
 esac

@@ -266,10 +266,19 @@ def test_distributed_train_process_death_fails_clean(tmp_path):
     for ws in (ws0, ws1):
         ws.mkdir()
         _make_workspace(ws)
+        # the run must still be in flight when the kill lands (with a
+        # warm compilation cache 50 toy epochs can finish inside the
+        # start-up sleep, which leaves the survivor exiting 0): give it
+        # an effectively unbounded epoch budget and disable early stop
+        conf_path = ws / "conf" / "toy" / "1a.yaml"
+        conf = yaml.safe_load(open(conf_path))
+        conf["trainer_conf"]["no_impr"] = 100000
+        with open(conf_path, "w") as fd:
+            yaml.dump(conf, fd)
     port = _free_port()
     dist_args = ["--distributed", "jax", "--coordinator-address",
                  f"127.0.0.1:{port}", "--num-processes", "2",
-                 "--epochs", "50"]
+                 "--epochs", "100000"]
     procs = [
         _launch(ws, dist_args + ["--process-id", str(i)], wait=False)
         for i, ws in enumerate((ws0, ws1))
