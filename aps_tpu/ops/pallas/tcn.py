@@ -37,6 +37,45 @@ from jax.experimental import pallas as pl
 _C1, _G1, _H1, _W0, _W1, _W2, _CB, _G2, _H2, _A1, _A2 = range(11)
 PACK_ROWS = 11
 
+# target VMEM working set per grid instance: the scoped limit is ~16 MB
+# and the estimate below undercounts small compiler temps by a few
+# hundred KB (observed 16.12 MB actual vs ~15.5 MB estimated at T=3907
+# with the old fixed ~1024-row slabs), so budget with headroom
+VMEM_BUDGET = 13 * 2 ** 20
+
+
+def _resident_bytes(T: int, B: int, H: int, itemsize: int) -> int:
+    """Per-instance VMEM that does NOT shrink with smaller slabs: the
+    x/out rows (double-buffered across grid instances) + weights."""
+    return (2 * 2 * T * B * itemsize  # x + out, double-buffered
+            + 2 * B * H * itemsize  # k1 + k2
+            + (PACK_ROWS + 1) * H * 4)  # pack + bias2
+
+
+def _pick_slabs(T: int, B: int, H: int, dilation: int,
+                itemsize: int) -> Optional[int]:
+    """Slab count whose f32 temporaries keep the kernel inside
+    VMEM_BUDGET, or None when even a 16-row slab cannot fit (the caller
+    must fall back to the XLA fold)."""
+    avail = VMEM_BUDGET - _resident_bytes(T, B, H, itemsize)
+    # per slab: y ((step + 2d) x H), y2 + prelu temps (~2 step x H),
+    # o + residual cast (~2 step x B) — all f32
+    per_row = (3 * H + 2 * B) * 4
+    halo = 2 * dilation * H * 4
+    step = (avail - halo) // per_row
+    step = min(T, (step // 16) * 16)
+    if step < 16:
+        return None
+    return -(-T // step)
+
+
+def tcn_fused_fits(T: int, B: int, H: int, max_dilation: int,
+                   itemsize: int = 2) -> bool:
+    """True when tcn_block_fused can run every block of a stack with
+    time length T inside the VMEM budget (checked at the largest
+    dilation, which has the biggest halo)."""
+    return _pick_slabs(T, B, H, max_dilation, itemsize) is not None
+
 
 def _prelu(x, slope_row):
     return jnp.where(x >= 0, x, slope_row * x)
@@ -106,12 +145,19 @@ def tcn_block_fused(x: jnp.ndarray,
         dilation: depthwise dilation (static)
         causal: left-only padding when True
         slabs: time sub-tiles inside the kernel (bounds f32 temps);
-            default picks ~1024-row slabs
+            default picks the largest slab that keeps the instance
+            inside VMEM_BUDGET and raises when none fits — call
+            tcn_fused_fits() first to gate
     """
     N, T, B = x.shape
     H = kernel1.shape[1]
     if slabs is None:
-        slabs = max(1, T // 1024)
+        slabs = _pick_slabs(T, B, H, dilation, x.dtype.itemsize)
+        if slabs is None:
+            raise ValueError(
+                f"fused TCN block does not fit VMEM at T={T} (B={B}, "
+                f"H={H}, dilation={dilation}); gate the call with "
+                "tcn_fused_fits() and fall back to the XLA fold")
     kfn = functools.partial(_tcn_block_kernel, dilation=dilation,
                             causal=causal, slabs=slabs)
     return pl.pallas_call(

@@ -335,8 +335,19 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
         y = (w - mean) * lax.rsqrt(var + 1e-5) * ln_g + ln_b
         y = (y @ proj_k + proj_b).astype(dtype)
         T = y.shape[1]
+        # T is static under jit, so the pallas-vs-xla choice is made per
+        # compiled shape: long inputs whose fused working set would blow
+        # the ~16 MB scoped VMEM (observed at T>=3907 with B=256, H=512)
+        # take the XLA fold instead of failing to compile
+        use_pallas = impl == "pallas"
+        if use_pallas:
+            from aps_tpu.ops.pallas.tcn import tcn_fused_fits
+            use_pallas = tcn_fused_fits(T, y.shape[2],
+                                        blocks[0][1].shape[1],
+                                        max(d for d, *_ in blocks),
+                                        y.dtype.itemsize)
         for d, k1, pack, k2, b2 in blocks:
-            if impl == "pallas":
+            if use_pallas:
                 from aps_tpu.ops.pallas.tcn import tcn_block_fused
                 y = tcn_block_fused(y, k1, pack, k2, b2, dilation=d,
                                     causal=nnet.causal,

@@ -201,6 +201,42 @@ def test_tcn_fused_eval_matches_apply(rng, mc):
     assert gln.make_fused_eval(v2) is None
 
 
+def test_tcn_fused_vmem_gate(rng, monkeypatch):
+    """Long inputs whose fused working set exceeds the scoped-VMEM
+    budget must take the XLA fold inside the SAME built forward (the
+    batch 32 x ~49 s deployment shape failed to compile before the
+    gate), and the slab picker must scale slabs with the budget."""
+    import jax.numpy as jnp
+    from aps_tpu.libs import aps_sse_nnet
+    from aps_tpu.ops.pallas import tcn as ptcn
+
+    # full-size deployment shapes (B=256, H=512, max dilation 128)
+    assert ptcn.tcn_fused_fits(3907, 256, 512, 128)  # the old failure
+    assert not ptcn.tcn_fused_fits(8000, 256, 512, 128)
+    s1 = ptcn._pick_slabs(3200, 256, 512, 128, 2)
+    monkeypatch.setattr(ptcn, "VMEM_BUDGET", 10 * 2 ** 20)
+    s2 = ptcn._pick_slabs(3200, 256, 512, 128, 2)
+    assert s2 is None or s2 > s1
+    monkeypatch.undo()
+
+    # forward built with impl="pallas" silently uses the XLA fold when
+    # the (static) trace-time length does not fit
+    nnet = aps_sse_nnet("sse@time_tcn")(num_spks=2, L=20, N=64, X=3, R=2,
+                                        B=64, H=128)
+    mix = jnp.asarray(rng.standard_normal((2, 8000)) * 0.1, jnp.float32)
+    v = nnet.init({"params": jax.random.PRNGKey(0),
+                   "dropout": jax.random.PRNGKey(1)}, mix, training=False)
+    fwd = nnet.make_fused_eval(v, impl="pallas", interpret=True)
+    monkeypatch.setattr(ptcn, "tcn_fused_fits",
+                        lambda *a, **k: False)
+    with jax.default_matmul_precision("highest"):
+        ref = nnet.apply(v, mix, training=False)
+        got = fwd(mix)  # traces now -> gate says no -> XLA branch
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+
+
 @pytest.mark.medium
 def test_ctc_score_step_fused_matches_portable(rng):
     """The fused Pallas CTC prefix-scorer step (interpret mode) must match
