@@ -53,8 +53,10 @@ def write_audio(fname: Union[str, IO[Any]],
         samps = np.squeeze(np.transpose(samps))
     if isinstance(fname, str):
         parent = os.path.dirname(fname)
-        if parent and not os.path.exists(parent):
-            os.makedirs(parent)
+        if parent:
+            # exist_ok: concurrent writers (cmd/separate.py's AsyncWriter
+            # pool) race to create the same speaker directory
+            os.makedirs(parent, exist_ok=True)
     wav_write(fname, samps, sr=sr, norm=norm)
 
 

@@ -302,6 +302,7 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
     dtype = params["proj"]["kernel"].dtype
     f32 = lambda x: jnp.asarray(x, jnp.float32)
     blocks = []
+    dilations = []
     for r in range(nnet.R):
         for n in range(nnet.X):
             name = f"block_{r}_{n}"
@@ -309,22 +310,46 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
                 return None
             k1, pack, k2, b2 = _fold_eval_block(params["conv"][name],
                                                 stats["conv"][name])
-            blocks.append((2 ** n, k1.astype(dtype), pack,
-                           k2.astype(dtype), b2))
-    enc_k, enc_b = params["encoder"]["kernel"], params["encoder"]["bias"]
-    ln_g = f32(params["ln"]["GlobalChannelLayerNorm_0"]["gamma"])
-    ln_b = f32(params["ln"]["GlobalChannelLayerNorm_0"]["beta"])
-    proj_k, proj_b = params["proj"]["kernel"], params["proj"]["bias"]
-    mp = params["mask_prelu"]["negative_slope"]
-    mo_k, mo_b = params["mask_out"]["kernel"], params["mask_out"]["bias"]
-    dec_k, dec_b = params["decoder"]["kernel"], params["decoder"]["bias"]
-    mc_k = params.get("mc_weight", None)
+            dilations.append(2 ** n)
+            blocks.append((k1.astype(dtype), pack, k2.astype(dtype), b2))
+    # one pytree of all folded weights: the compiled forward takes it as
+    # an ARGUMENT rather than closing over it — closed-over device arrays
+    # become MLIR constants, which (a) fetches every weight back to host
+    # at trace time (minutes through a networked-device tunnel), (b)
+    # bloats the serialized program (observed 66 MB HLO for a 17 MB
+    # checkpoint) and (c) keys the persistent compilation cache on the
+    # weight VALUES so no two checkpoints (or processes) ever share a
+    # compile. Passing the pytree keeps the HLO weight-free.
+    folded = {
+        "blocks": blocks,
+        "enc_k": params["encoder"]["kernel"],
+        "enc_b": params["encoder"]["bias"],
+        "ln_g": f32(params["ln"]["GlobalChannelLayerNorm_0"]["gamma"]),
+        "ln_b": f32(params["ln"]["GlobalChannelLayerNorm_0"]["beta"]),
+        "proj_k": params["proj"]["kernel"],
+        "proj_b": params["proj"]["bias"],
+        "mp": params["mask_prelu"]["negative_slope"],
+        "mo_k": params["mask_out"]["kernel"],
+        "mo_b": params["mask_out"]["bias"],
+        "dec_k": params["decoder"]["kernel"],
+        "dec_b": params["decoder"]["bias"],
+        "mc_k": params.get("mc_weight", None),
+    }
+    dilations = tuple(dilations)
     act = supported_nonlinear[nnet.non_linear]
     spks, stride = nnet.num_spks, nnet.L // 2
     mc_mode = nnet.mixture_consistency
 
-    def forward(mix: jnp.ndarray) -> List[jnp.ndarray]:
-        """mix: N x S -> [N x S'] * num_spks (eval mode)."""
+    def raw_forward(weights, mix: jnp.ndarray) -> List[jnp.ndarray]:
+        """weights: the ``folded`` pytree; mix: N x S -> [N x S'] *
+        num_spks (eval mode)."""
+        enc_k, enc_b = weights["enc_k"], weights["enc_b"]
+        ln_g, ln_b = weights["ln_g"], weights["ln_b"]
+        proj_k, proj_b = weights["proj_k"], weights["proj_b"]
+        mp = weights["mp"]
+        mo_k, mo_b = weights["mo_k"], weights["mo_b"]
+        dec_k, dec_b = weights["dec_k"], weights["dec_b"]
+        mc_k = weights["mc_k"]
         w = jax.nn.relu(
             lax.conv_general_dilated(
                 mix[..., None], enc_k, window_strides=(stride,),
@@ -343,10 +368,10 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
         if use_pallas:
             from aps_tpu.ops.pallas.tcn import tcn_fused_fits
             use_pallas = tcn_fused_fits(T, y.shape[2],
-                                        blocks[0][1].shape[1],
-                                        max(d for d, *_ in blocks),
+                                        weights["blocks"][0][1].shape[1],
+                                        max(dilations),
                                         y.dtype.itemsize)
-        for d, k1, pack, k2, b2 in blocks:
+        for d, (k1, pack, k2, b2) in zip(dilations, weights["blocks"]):
             if use_pallas:
                 from aps_tpu.ops.pallas.tcn import tcn_block_fused
                 y = tcn_block_fused(y, k1, pack, k2, b2, dilation=d,
@@ -387,6 +412,15 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
                 mix, bss, [wgt[:, i:i + 1] for i in range(spks)])
         return bss[0] if spks == 1 else bss
 
+    def forward(mix: jnp.ndarray) -> List[jnp.ndarray]:
+        """mix: N x S -> [N x S'] * num_spks (eval mode)."""
+        return raw_forward(folded, mix)
+
+    # expose the argument-passing form: jit ``forward.raw`` and call it
+    # with ``forward.folded`` so the weights ride as runtime inputs
+    # (zero-cost when already device-resident) instead of constants
+    forward.raw = raw_forward
+    forward.folded = folded
     return forward
 
 

@@ -42,18 +42,38 @@ class Separator(NnetEvaluator):
             fwd = make_fused(self.variables)
             if fwd is not None:
                 logger.info("using fused eval forward")
-        if fwd is not None:
-            self._jit_fwd = jax.jit(lambda v, m: fwd(m))
-            jit_one = jax.jit(lambda m: fwd(m[None]))
+        # every jitted entry takes the weights as an ARGUMENT (device
+        # committed once here): closing over them would embed them as
+        # program constants — the trace then fetches every weight back
+        # to host (minutes on a networked device) and the persistent
+        # compilation cache keys on the VALUES, so no process ever hits
+        if fwd is not None and getattr(fwd, "raw", None) is not None:
+            raw = fwd.raw
+            self._fwd_state = jax.device_put(fwd.folded)
+            self._jit_fwd = jax.jit(raw)
+            jit_one = jax.jit(lambda v, m: raw(v, m[None]))
 
             def _infer_one(v, m):
-                sep = jit_one(m)
+                sep = jit_one(v, m)
+                if isinstance(sep, (list, tuple)):
+                    return [s[0] for s in sep]
+                return sep[0]
+
+            self._jit_infer = _infer_one
+        elif fwd is not None:
+            self._fwd_state = self.variables
+            self._jit_fwd = jax.jit(lambda v, m: fwd(m))
+            jit_one = jax.jit(lambda v, m: fwd(m[None]))
+
+            def _infer_one(v, m):
+                sep = jit_one(v, m)
                 if isinstance(sep, (list, tuple)):
                     return [s[0] for s in sep]
                 return sep[0]
 
             self._jit_infer = _infer_one
         else:
+            self._fwd_state = self.variables
             self._jit_infer = jax.jit(
                 lambda v, m: self.nnet.apply(v, m, mode="time",
                                              method="infer"))
@@ -83,12 +103,12 @@ class Separator(NnetEvaluator):
                 from aps_tpu.loader.utils import quantize_len
                 S = quantize_len(N, floor=16000, factor=pad_grid)
                 widths = [(0, 0)] * (src.ndim - 1) + [(0, S - N)]
-                sep = infer(self.variables,
+                sep = infer(self._fwd_state,
                             np.pad(src, widths).astype(self.dtype))
                 if isinstance(sep, (list, tuple)):
                     return [s[..., :N] for s in sep]
                 return sep[..., :N]
-            return infer(self.variables, src.astype(self.dtype))
+            return infer(self._fwd_state, src.astype(self.dtype))
         lctx = (chunk_len - chunk_hop) // 2
         rctx = chunk_len - chunk_hop - lctx
         stitcher = ChunkStitcher(chunk_hop, lctx, rctx)
@@ -101,7 +121,7 @@ class Separator(NnetEvaluator):
                 pad = chunk_len - (end - beg)
                 widths = [(0, 0)] * (seg.ndim - 1) + [(0, pad)]
                 seg = np.pad(seg, widths)
-            sep = infer(self.variables, seg.astype(self.dtype))
+            sep = infer(self._fwd_state, seg.astype(self.dtype))
             chunks.append([np.asarray(s) for s in sep]
                           if isinstance(sep, (list, tuple))
                           else np.asarray(sep))
@@ -128,7 +148,7 @@ class Separator(NnetEvaluator):
             np.pad(np.asarray(s, dtype=np.float32), (0, S - l))
             for s, l in zip(srcs, lens)
         ]).astype(self.dtype)  # cast on host: halves the tunnel upload
-        sep = self._jit_fwd(self.variables, jnp.asarray(batch))
+        sep = self._jit_fwd(self._fwd_state, jnp.asarray(batch))
 
         def fetch():
             out = jax.device_get(sep)
