@@ -30,15 +30,18 @@ class RtModel(object):
         from aps_tpu.eval import NnetEvaluator
         self.evaluator = NnetEvaluator(cpt_dir, cpt_tag=cpt_tag)
         self.function = function
+        # variables ride as a jit ARGUMENT: closed-over arrays become
+        # program constants, which bloats the HLO and keys the persistent
+        # compilation cache on the weight values (no cross-process reuse)
         self._jit = jax.jit(
-            lambda feats: self.evaluator.nnet.apply(
-                self.evaluator.variables, feats, method=function))
+            lambda v, feats: self.evaluator.nnet.apply(
+                v, feats, method=function))
 
     def forward_bytes(self, data: bytes, num_frames: int,
                       dim: int) -> Tuple[bytes, tuple]:
         feats = np.frombuffer(data, dtype=np.float32).reshape(
             1, num_frames, dim)
-        out = self._jit(jnp.asarray(feats))
+        out = self._jit(self.evaluator.variables, jnp.asarray(feats))
         out = np.asarray(out, dtype=np.float32)
         return out.tobytes(), tuple(out.shape)
 
@@ -70,13 +73,13 @@ class RtSeparator(object):
         from aps_tpu.eval import NnetEvaluator
         self.evaluator = NnetEvaluator(cpt_dir, cpt_tag=cpt_tag)
         self._jit = jax.jit(
-            lambda mix: self.evaluator.nnet.apply(
-                self.evaluator.variables, mix, method="infer"))
+            lambda v, mix: self.evaluator.nnet.apply(
+                v, mix, method="infer"))
 
     def enhance_bytes(self, data: bytes,
                       num_samples: int) -> Tuple[bytes, tuple]:
         mix = np.frombuffer(data, dtype=np.float32)[:num_samples]
-        out = self._jit(jnp.asarray(mix))
+        out = self._jit(self.evaluator.variables, jnp.asarray(mix))
         if isinstance(out, (list, tuple)):  # multi-branch: stack sources
             out = jnp.stack(list(out))
         out = np.asarray(out, dtype=np.float32)

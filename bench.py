@@ -276,10 +276,21 @@ def bench_separate(on_tpu: bool):
             return nnet.apply(variables, mix, training=False)
 
     # deployment path (separate.py default): folded fused-eval forward,
-    # one Pallas kernel per TCN block (~2.2x vs the canonical apply)
+    # one Pallas kernel per TCN block (~2.2x vs the canonical apply).
+    # jit the weight-as-ARGUMENT form (forward.raw): the closure form
+    # embeds the folded weights as program constants, which fetches them
+    # back to host at trace time (minutes on the tunnel) and keys the
+    # compilation cache on their values (BENCHMARKS.md round 4)
     fused = nnet.make_fused_eval(variables,
                                  impl="pallas" if on_tpu else "xla")
-    jit_fused = jax.jit(fused) if fused is not None else forward
+    if fused is not None and getattr(fused, "raw", None) is not None:
+        folded = jax.device_put(fused.folded)
+        raw = jax.jit(fused.raw)
+        jit_fused = lambda m: raw(folded, m)
+    elif fused is not None:
+        jit_fused = jax.jit(fused)
+    else:
+        jit_fused = forward
 
     jax.block_until_ready(forward(mix))
     jax.block_until_ready(jit_fused(mix))

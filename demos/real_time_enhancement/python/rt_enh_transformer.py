@@ -35,8 +35,9 @@ def run(args):
     istft = StreamingiSTFT(frame_len, frame_hop, window=window)
     win_length = stft.win_length
 
-    mask_fn = jax.jit(lambda feats: evaluator.nnet.apply(
-        evaluator.variables, feats, method="mask_predict"))
+    jit_mask = jax.jit(lambda v, feats: evaluator.nnet.apply(
+        v, feats, method="mask_predict"))
+    mask_fn = lambda feats: jit_mask(evaluator.variables, feats)
 
     sr = args.sr
     mix = read_audio(args.noisy, sr=sr)

@@ -44,8 +44,10 @@ def run(args):
     # streamed logits equal the offline ctc_logits frame for frame
     feats = jnp.pad(feats, ((lctx, rctx), (0, 0)))
 
-    step_fn = jax.jit(lambda block, state: evaluator.nnet.apply(
-        evaluator.variables, block, state, method="step"))
+    jit_step = jax.jit(lambda v, block, state: evaluator.nnet.apply(
+        v, block, state, method="step"))
+    step_fn = lambda block, state: jit_step(evaluator.variables, block,
+                                            state)
 
     state = None
     prev_tok = blank
