@@ -286,9 +286,15 @@ class Trainer(object):
         if last_checkpoint.exists():
             resume = last_checkpoint.as_posix()
 
+        # per-rank log files in multi-process runs (reference parity:
+        # /root/reference/aps/trainer/base.py:85-130 writes
+        # trainer.rank.N.log per process): with a SHARED checkpoint dir
+        # on multi-host, a rank-less name would have every process append
+        # to the same trainer.log
+        rank = jax.process_index() if jax.process_count() > 1 else None
         self.reporter = ProgressReporter(self.checkpoint,
                                          report_metrics,
-                                         rank=None,
+                                         rank=rank,
                                          period=prog_interval,
                                          tensorboard=tensorboard,
                                          reduction_tag=reduction_tag)

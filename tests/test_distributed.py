@@ -253,6 +253,13 @@ def test_distributed_train_sh_parity_and_chief_only(tmp_path):
     for name in ("best.ckpt", "last.ckpt", "train.yaml"):
         assert os.path.exists(os.path.join(ws0, exp, name)), name
         assert not os.path.exists(os.path.join(ws1, exp, name)), name
+    # per-rank log files (reference parity: trainer.rank.N.log per
+    # process, /root/reference/aps/trainer/base.py:85-130) so multi-host
+    # runs sharing one checkpoint dir never collide on trainer.log
+    for i, ws in enumerate((ws0, ws1)):
+        assert os.path.exists(
+            os.path.join(ws, exp, f"trainer.rank.{i}.log")), i
+    assert os.path.exists(os.path.join(single, exp, "trainer.log"))
     # loss parity: both runs consumed the same deterministic global
     # batches (each process loads the full batch; the mesh shards it)
     ref = _best_valid_loss(os.path.join(single, exp))
@@ -301,9 +308,12 @@ def test_distributed_train_dp_sp_parity(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
     exp = os.path.join("exp", "toy", "1a")
-    # the trainer banner proves the composite mesh was actually built
-    assert "'data': 2" in outs[0] and "'model': 2" in outs[0], \
-        outs[0][-3000:]
+    # the trainer banner proves the composite mesh was actually built —
+    # it is written through ProgressReporter, whose logger is file-only
+    # (trainer.rank.0.log in multi-process runs), not stdout
+    with open(os.path.join(ws0, exp, "trainer.rank.0.log")) as fd:
+        log0 = fd.read()
+    assert "'data': 2" in log0 and "'model': 2" in log0, log0[-3000:]
     ref = _best_valid_loss(os.path.join(single, exp))
     got = _best_valid_loss(os.path.join(ws0, exp))
     np.testing.assert_allclose(got, ref, rtol=1e-4)
