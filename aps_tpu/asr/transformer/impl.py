@@ -22,7 +22,7 @@ from flax import linen as nn
 from aps_tpu.const import MIN_F32
 from aps_tpu.asr.transformer.utils import digit_shift, get_activation_fn
 from aps_tpu.libs import Register
-from aps_tpu.ops.pallas import flash_attention
+from aps_tpu.ops.pallas import flash_attention, flash_attention_rel
 
 TransformerEncoderLayers = Register("xfmr_encoder_layer")
 
@@ -124,6 +124,11 @@ class ApsMultiheadAttention(nn.Module):
                 and inj_pose is None and attn_mask is None
                 and (self.dropout == 0 or not training))
 
+    def _rel_flash(self, q, k, v, inj_pose, key_padding_mask, training):
+        """Rel/xl-pose flash path (None -> caller uses the dense math).
+        Overridden by the subclasses; the base class has no rel term."""
+        return None
+
     def __call__(self, query, key, value, inj_pose=None,
                  key_padding_mask=None, attn_mask=None,
                  training: bool = False, kv_cache=None):
@@ -141,7 +146,16 @@ class ApsMultiheadAttention(nn.Module):
                 self.in_proj(query)[..., :self.embed_dim])
             k, v = kv_cache
             if q.shape[0] != k.shape[0]:
-                assert q.shape[0] % k.shape[0] == 0 and attn_mask is None
+                # hard contract, not a debug check (survives python -O):
+                # beam-shared K/V requires whole beam groups and no
+                # attn_mask (the fold changes the mask's query axis)
+                if q.shape[0] % k.shape[0] != 0:
+                    raise ValueError(
+                        f"beam-shared kv_cache: query batch {q.shape[0]} "
+                        f"not a multiple of kv batch {k.shape[0]}")
+                if attn_mask is not None:
+                    raise ValueError(
+                        "beam-shared kv_cache does not support attn_mask")
                 group = q.shape[0] // k.shape[0]
                 L = q.shape[1]
                 q = q.reshape(k.shape[0], group * L,
@@ -166,16 +180,41 @@ class ApsMultiheadAttention(nn.Module):
             context = jnp.swapaxes(o, 1, 2)
             N, L = context.shape[:2]
             return self.out_proj(context.reshape(N, L, self.embed_dim)), None
+        if (group == 1 and inj_pose is not None and attn_mask is None
+                and (self.dropout == 0 or not training)):
+            context = self._rel_flash(q, k, v, inj_pose, key_padding_mask,
+                                      training)
+            if context is not None:
+                N, L = context.shape[:2]
+                return self.out_proj(
+                    context.reshape(N, L, self.embed_dim)), None
         logit = self.dot_att(q, k, inj_pose)
         context, weight = self.context_weight(
             logit, v, key_padding_mask=key_padding_mask,
             attn_mask=attn_mask, training=training)
         if group > 1:
+            # weights are intentionally dropped here (sentinel None, same
+            # contract as the flash path above): the fold makes them
+            # (Nk, H, G*L, T) — per-lane weights would need an un-fold a
+            # coverage-penalty caller must request via group == 1
             N, GL = context.shape[:2]
             context = self.out_proj(
                 context.reshape(N * group, GL // group, self.embed_dim))
             return context, None
         return self.wrap_out(context, weight)
+
+
+# rel/xl flash crossover: like the abs kernel, short sequences lose to
+# the dense path (block padding + the custom call blocking XLA fusion);
+# measured on v5e the rel kernel wins fwd+bwd from T >= 512 (BENCHMARKS.md
+# "Flash attention for rel/xl pose")
+REL_FLASH_MIN_LEN = 512
+
+
+def _suffix_klen(key_padding_mask):
+    if key_padding_mask is None:
+        return None
+    return jnp.sum(jnp.logical_not(key_padding_mask), -1).astype(jnp.int32)
 
 
 class RelMultiheadAttention(ApsMultiheadAttention):
@@ -188,6 +227,18 @@ class RelMultiheadAttention(ApsMultiheadAttention):
         # N x H x L x 2L-1
         term_b = jnp.einsum("nlhd,sd->nhls", query, inj_pose)
         return term_a + digit_shift(term_b)
+
+    def _rel_flash(self, q, k, v, inj_pose, key_padding_mask, training):
+        """In-kernel Shaw rel scores: q_c = q_p = q, shared pose table."""
+        L, S = q.shape[1], k.shape[1]
+        if not (self.use_flash and L == S and L >= REL_FLASH_MIN_LEN
+                and inj_pose.shape[0] == 2 * L - 1):
+            return None
+        qh = jnp.swapaxes(q, 1, 2)
+        o = flash_attention_rel(qh, qh, jnp.swapaxes(k, 1, 2),
+                                jnp.swapaxes(v, 1, 2), inj_pose[None],
+                                k_len=_suffix_klen(key_padding_mask))
+        return jnp.swapaxes(o, 1, 2)
 
 
 class XlMultiheadAttention(ApsMultiheadAttention):
@@ -214,6 +265,23 @@ class XlMultiheadAttention(ApsMultiheadAttention):
                                                   self.head_dim)
         term_bd = jnp.einsum("nlhd,shd->nhls", query + self.rel_v, rel_pos)
         return term_ac + digit_shift(term_bd)
+
+    def _rel_flash(self, q, k, v, inj_pose, key_padding_mask, training):
+        """In-kernel XL rel scores: rel_u/rel_v fold into the content/
+        position queries, per-head projected sinusoid table."""
+        L, S = q.shape[1], k.shape[1]
+        if not (self.use_flash and L == S and L >= REL_FLASH_MIN_LEN
+                and inj_pose.shape[0] == 2 * L - 1):
+            return None
+        pose = self.rel_proj(inj_pose).reshape(-1, self.num_heads,
+                                               self.head_dim)
+        o = flash_attention_rel(jnp.swapaxes(q + self.rel_u, 1, 2),
+                                jnp.swapaxes(q + self.rel_v, 1, 2),
+                                jnp.swapaxes(k, 1, 2),
+                                jnp.swapaxes(v, 1, 2),
+                                jnp.transpose(pose, (1, 0, 2)),
+                                k_len=_suffix_klen(key_padding_mask))
+        return jnp.swapaxes(o, 1, 2)
 
 
 class FeedForward(nn.Module):

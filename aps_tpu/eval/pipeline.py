@@ -30,28 +30,52 @@ _SENTINEL = object()
 def prefetch_iter(it: Iterable, depth: int = 8) -> Iterator:
     """Iterate `it` on a background thread, `depth` items ahead.
     Exceptions raised by the underlying iterator re-raise at the
-    consuming site (wrapped), preserving fail-fast semantics."""
+    consuming site (wrapped), preserving fail-fast semantics. If the
+    consumer abandons the generator early (GeneratorExit / exception in
+    the consuming loop), the producer is signalled to stop instead of
+    blocking forever on a full queue with its readers held open."""
     q = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
 
     def _produce():
         try:
             for item in it:
-                q.put(item)
+                # bounded put, re-checking the stop flag: the consumer
+                # may have gone away while the queue was full
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as exc:  # noqa: B036 - relayed to consumer
-            q.put((_SENTINEL, exc))
+            if not stop.is_set():
+                q.put((_SENTINEL, exc))
             return
         q.put(_SENTINEL)
 
     thread = threading.Thread(target=_produce, daemon=True)
     thread.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and \
-                item[0] is _SENTINEL:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and \
+                    item[0] is _SENTINEL:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        # unblock a producer waiting on a full queue, then let it exit
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        thread.join(timeout=5.0)
 
 
 class AsyncWriter(object):

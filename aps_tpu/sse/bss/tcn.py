@@ -320,8 +320,23 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
     # checkpoint) and (c) keys the persistent compilation cache on the
     # weight VALUES so no two checkpoints (or processes) ever share a
     # compile. Passing the pytree keeps the HLO weight-free.
+    #
+    # block weights are STACKED (R, X, ...): every repeat runs the same X
+    # dilations over identically-shaped weights, so the block loop scans
+    # over the repeat axis with only the X inner blocks (static dilation
+    # each) unrolled. The traced program then contains X kernel instances
+    # instead of R*X — measured on the tunneled bench chip, the unrolled
+    # 32-block program costs ~12.5 s PER INPUT SHAPE even with a warm
+    # compile cache (trace+lower 9 s, executable load 3.5 s, 37.8 MB
+    # serialized); the scan cuts that ~R-fold with zero steady-state
+    # change (same kernels, same schedule).
     folded = {
-        "blocks": blocks,
+        "blocks": tuple(
+            jnp.stack([
+                jnp.stack([blocks[r * nnet.X + n][j]
+                           for n in range(nnet.X)])
+                for r in range(nnet.R)
+            ]) for j in range(4)),
         "enc_k": params["encoder"]["kernel"],
         "enc_b": params["encoder"]["bias"],
         "ln_g": f32(params["ln"]["GlobalChannelLayerNorm_0"]["gamma"]),
@@ -368,27 +383,37 @@ def tcn_fused_eval(nnet: "TimeConvTasNet", variables, impl: str = "auto",
         if use_pallas:
             from aps_tpu.ops.pallas.tcn import tcn_fused_fits
             use_pallas = tcn_fused_fits(T, y.shape[2],
-                                        weights["blocks"][0][1].shape[1],
+                                        weights["blocks"][1].shape[-1],
                                         max(dilations),
                                         y.dtype.itemsize)
-        for d, (k1, pack, k2, b2) in zip(dilations, weights["blocks"]):
-            if use_pallas:
-                from aps_tpu.ops.pallas.tcn import tcn_block_fused
-                y = tcn_block_fused(y, k1, pack, k2, b2, dilation=d,
-                                    causal=nnet.causal,
-                                    interpret=interpret)
-            else:
-                c1, g1, h1 = pack[0], pack[1], pack[2]
-                w0, w1, w2, cb = pack[3], pack[4], pack[5], pack[6]
-                g2, h2, a1, a2 = pack[7], pack[8], pack[9], pack[10]
-                z = f32(y @ k1) + c1
-                z = jnp.where(z >= 0, z, a1 * z) * g1 + h1
-                pl_, pr = (2 * d, 0) if nnet.causal else (d, d)
-                zp = jnp.pad(z, ((0, 0), (pl_, pr), (0, 0)))
-                z2 = (w0 * zp[:, :T] + w1 * zp[:, d:T + d] +
-                      w2 * zp[:, 2 * d:2 * d + T] + cb)
-                z2 = jnp.where(z2 >= 0, z2, a2 * z2) * g2 + h2
-                y = (z2.astype(dtype) @ k2 + b2 + y).astype(dtype)
+
+        def one_repeat(y, rep):
+            """One repeat: X blocks, dilation 2**n each (static)."""
+            ks1, packs, ks2, bs2 = rep
+            for n in range(nnet.X):
+                k1, pack = ks1[n], packs[n]
+                k2, b2 = ks2[n], bs2[n]
+                d = dilations[n]
+                if use_pallas:
+                    from aps_tpu.ops.pallas.tcn import tcn_block_fused
+                    y = tcn_block_fused(y, k1, pack, k2, b2, dilation=d,
+                                        causal=nnet.causal,
+                                        interpret=interpret)
+                else:
+                    c1, g1, h1 = pack[0], pack[1], pack[2]
+                    w0, w1, w2, cb = pack[3], pack[4], pack[5], pack[6]
+                    g2, h2, a1, a2 = pack[7], pack[8], pack[9], pack[10]
+                    z = f32(y @ k1) + c1
+                    z = jnp.where(z >= 0, z, a1 * z) * g1 + h1
+                    pl_, pr = (2 * d, 0) if nnet.causal else (d, d)
+                    zp = jnp.pad(z, ((0, 0), (pl_, pr), (0, 0)))
+                    z2 = (w0 * zp[:, :T] + w1 * zp[:, d:T + d] +
+                          w2 * zp[:, 2 * d:2 * d + T] + cb)
+                    z2 = jnp.where(z2 >= 0, z2, a2 * z2) * g2 + h2
+                    y = (z2.astype(dtype) @ k2 + b2 + y).astype(dtype)
+            return y, None
+
+        y, _ = lax.scan(one_repeat, y, weights["blocks"])
         e = jnp.where(y >= 0, y, mp * y) @ mo_k + mo_b
         m = jnp.stack(jnp.split(e, spks, axis=-1), axis=0)
         m = act(m)

@@ -42,10 +42,12 @@ ROUND1 = {
     "train": 3303.0,  # BENCHMARKS.md train-step RTF, bf16 (r2 corrected)
     "separate": 2681.0,  # BENCHMARKS.md Conv-TasNet bf16 batch 32 x 4 s
 }
-# previous round's best (BENCH_r03.json), same configuration per metric
+# previous round's best (round 4, BENCHMARKS.md — BENCH_r04.json was lost
+# to the driver timeout, so these are the builder-recorded values), same
+# configuration per metric
 PREV_ROUND = {
-    "decode_approx": 1223.89,
-    "train": 50060.07,
+    "decode_approx": 2090.4,
+    "train": 55560.0,
     "separate": 9314.86,
 }
 # TPU v5e bf16 peak (MXU): ~197 TFLOP/s; MFU is only estimated on TPU runs
@@ -337,18 +339,34 @@ def main():
     # after the decode executables were resident), and a clean room per
     # metric also isolates failures
     import os
+    import re
     import subprocess
     import sys
+
+    # GLOBAL WALL-CLOCK DEADLINE (VERDICT r04 next #1): the driver runs
+    # this script under its own hard timeout — BENCH_r03 (3 metrics)
+    # finished inside it, BENCH_r04 (+ an unbounded 3000 s tpu tier) was
+    # killed at rc 124 with nothing printed, losing every number the
+    # round earned. Budget every stage off ONE deadline, shed stages that
+    # no longer fit (recording per-stage `error` fields instead), and
+    # always print the single JSON line with whatever finished.
+    t0 = time.monotonic()
+    deadline = float(os.environ.get("APS_BENCH_DEADLINE_SECS", "2100"))
+    reserve = 15.0  # tail room to assemble + print the JSON
+
+    def remaining() -> float:
+        return deadline - (time.monotonic() - t0) - reserve
 
     # the bench chip sits behind a network tunnel that can be down for
     # hours (jax.devices() then blocks forever inside the plugin): probe
     # reachability in a bounded subprocess first so an outage yields a
-    # fast, well-formed error JSON instead of a 3000 s hang per metric
+    # fast, well-formed error JSON instead of a hang per metric
     try:
         probe = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=300)
+            capture_output=True, text=True,
+            timeout=max(30.0, min(240.0, remaining())))
         reachable = probe.returncode == 0
     except subprocess.TimeoutExpired:
         reachable = False
@@ -361,45 +379,33 @@ def main():
         }))
         return
 
-    # on-chip correctness is part of the driver artifact (VERDICT r03 weak
-    # #3): run the real-chip test tier and record its pass/fail counts in
-    # the bench JSON so a silent hardware-path regression fails the round
-    # even while the CPU suite stays green
-    def run_tpu_tier():
-        tier = {"passed": 0, "failed": 0, "error": None}
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-m", "pytest", "tests/tpu", "-q",
-                 "--no-header", "-p", "no:cacheprovider"],
-                env=dict(os.environ, APS_TPU_TEST="1"),
-                capture_output=True, text=True, timeout=3000,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            import re
-            tail = (proc.stdout or "").strip().splitlines()[-1:]
-            for ln in tail:
-                m = re.search(r"(\d+) passed", ln)
-                if m:
-                    tier["passed"] = int(m.group(1))
-                m = re.search(r"(\d+) failed", ln)
-                if m:
-                    tier["failed"] = int(m.group(1))
-            if proc.returncode != 0 and not tier["failed"]:
-                tier["error"] = (proc.stdout or proc.stderr or "")[-200:]
-        except subprocess.TimeoutExpired:
-            tier["error"] = "tpu tier timeout"
-        return tier
+    # per-metric soft caps: observed warm-cache wall times are minutes
+    # (dominated by the tunnel's ~60-110 s device program load per
+    # process); the cap only matters when a compile-cache miss or a
+    # contended chip blows a metric up — then it is bounded so the
+    # stages after it still run
+    caps = {"decode": 900.0, "train": 700.0, "separate": 600.0}
 
     results = {}
+    timings = {}
     for name in ("decode", "train", "separate"):
+        budget = min(caps[name], remaining())
+        if budget < 90.0:
+            results[name] = {"metric": name, "value": 0.0,
+                             "unit": "x_realtime", "vs_baseline": 0.0,
+                             "error": "skipped: global deadline"}
+            continue
+        beg = time.monotonic()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--metric", name],
-                capture_output=True, text=True, timeout=3000)
+                capture_output=True, text=True, timeout=budget)
             rc, stdout, stderr = proc.returncode, proc.stdout, proc.stderr
         except subprocess.TimeoutExpired as exc:
             rc, stdout = -1, ""
-            stderr = f"timeout after {exc.timeout}s"
+            stderr = f"timeout after {exc.timeout:.0f}s"
+        timings[name] = round(time.monotonic() - beg, 1)
         line = ""
         for ln in reversed((stdout or "").strip().splitlines()):
             if ln.startswith("{"):
@@ -413,9 +419,57 @@ def main():
             results[name] = {"metric": name, "value": 0.0,
                              "unit": "x_realtime", "vs_baseline": 0.0,
                              "error": (stderr or "no output")[-200:]}
+
+    # on-chip correctness is part of the driver artifact (VERDICT r03
+    # weak #3): run the real-chip test tier and record pass/fail counts
+    # in the bench JSON — bounded by whatever deadline budget is left
+    # (warm compile cache: the tier is minutes; a timeout still reports
+    # the progressive counts seen so far instead of losing them)
+    def run_tpu_tier(budget: float):
+        tier = {"passed": 0, "failed": 0, "skipped": 0, "error": None}
+        if budget < 120.0:
+            tier["error"] = "skipped: global deadline"
+            return tier
+        stdout = ""
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", "tests/tpu", "-q",
+                 "--no-header", "-p", "no:cacheprovider"],
+                env=dict(os.environ, APS_TPU_TEST="1"),
+                capture_output=True, text=True, timeout=budget,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            stdout = proc.stdout or ""
+            rc = proc.returncode
+        except subprocess.TimeoutExpired as exc:
+            stdout = (exc.stdout or b"").decode(
+                "utf-8", "replace") if isinstance(
+                exc.stdout, bytes) else (exc.stdout or "")
+            tier["error"] = f"tpu tier timeout after {budget:.0f}s"
+            rc = -1
+        tail = stdout.strip().splitlines()[-1:]
+        summary = tail[0] if tail else ""
+        got_summary = False
+        for key in ("passed", "failed", "skipped"):
+            m = re.search(rf"(\d+) {key}", summary)
+            if m:
+                tier[key] = int(m.group(1))
+                got_summary = True
+        if not got_summary:
+            # killed mid-run: count the progressive -q dots/F/s seen so
+            # far so partial progress still enters the record
+            prog = "".join(re.findall(r"^[.FEsx]+", stdout, re.M))
+            tier["passed"] = prog.count(".")
+            tier["failed"] = prog.count("F") + prog.count("E")
+            tier["skipped"] = prog.count("s")
+        if rc not in (0, -1) and not tier["failed"]:
+            tier["error"] = (stdout or "pytest error")[-200:]
+        return tier
+
     result = results["decode"]
     result["extra"] = [results["train"], results["separate"]]
-    result["tpu_tier"] = run_tpu_tier()
+    result["tpu_tier"] = run_tpu_tier(min(600.0, remaining()))
+    timings["total"] = round(time.monotonic() - t0, 1)
+    result["wall_secs"] = timings
     print(json.dumps(result))
 
 

@@ -14,10 +14,10 @@ conf=conf/$data/$exp_id.yaml
 cpt=exp/$data/$exp_id
 [ ! -f "$conf" ] && echo "$0: missing config $conf" && exit 1
 case $task in
-  am) exec python $repo/cmd/train_am.py --conf "$conf" --checkpoint "$cpt" \
+  am) exec python "$repo/cmd/train_am.py" --conf "$conf" --checkpoint "$cpt" \
         --dict data/$data/dict "$@" ;;
-  lm) exec python $repo/cmd/train_lm.py --conf "$conf" --checkpoint "$cpt" \
+  lm) exec python "$repo/cmd/train_lm.py" --conf "$conf" --checkpoint "$cpt" \
         --dict data/$data/dict "$@" ;;
-  ss) exec python $repo/cmd/train_ss.py --conf "$conf" --checkpoint "$cpt" "$@" ;;
+  ss) exec python "$repo/cmd/train_ss.py" --conf "$conf" --checkpoint "$cpt" "$@" ;;
   *) echo "Unknown task: $task" && exit 1 ;;
 esac
