@@ -64,7 +64,18 @@ for n in (32, 256):
                 wav = (0.1 * rng.standard_normal(32000)).astype(np.float32)
                 write_audio(str(root / f"m{i}.wav"), wav, sr=8000)
             fd.write(f"utt{i} {root}/m{i}.wav\n")
-runs = [(32, 8), (32, 8), (32, 8), (256, 32), (256, 32), (256, 32)]
+# mixed-length corpus (0.5-13 s, wsj0-2mix-like spread): exercises the
+# round-5 length planner — without it every occupied pad-grid point
+# compiled its own program (~12.5 s fixed each through the tunnel)
+with open(root / "mixvar256.scp", "w") as fd:
+    for i in range(256):
+        if not (root / f"v{i}.wav").exists():
+            S = int(8000 * (0.5 + 12.5 * rng.random()))
+            wav = (0.1 * rng.standard_normal(S)).astype(np.float32)
+            write_audio(str(root / f"v{i}.wav"), wav, sr=8000)
+        fd.write(f"utt{i} {root}/v{i}.wav\n")
+runs = [(32, 8), (32, 8), (32, 8), (256, 32), (256, 32), (256, 32),
+        ("var256", 32), ("var256", 32), ("var256", 32)]
 for i, (n, bs) in enumerate(runs):  # first run warms the compile cache
     # NOTE: PYTHONPATH=/root/repo breaks the axon plugin's registration
     # in the child (verified: even `python -c "import jax"` then fails to

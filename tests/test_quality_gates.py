@@ -22,10 +22,29 @@ ENV.pop("PALLAS_AXON_POOL_IPS", None)
 
 pytestmark = pytest.mark.slow  # full train->decode->score subprocess chains
 
-TONES = {"a": 330.0, "b": 880.0, "c": 1760.0}
+# 12 tone tokens (VERDICT r04 weak #4: a 3-token language with silence
+# gaps is a floor, not a gate), log-spaced 220 Hz - 6 kHz (ratio 1.35,
+# >= 2 mel bands apart): learnable, but with NO silence gap between
+# tones and real additive noise the decoder must segment and classify
+# on frequency content alone — a beam-scoring regression that costs the
+# odd token now flips a gate red instead of hiding under gap cues
+TONES = {tok: 220.0 * (1.35 ** i) for i, tok in enumerate("abcdefghijkl")}
 SR = 16000
 SEG = 2560  # 0.16 s tone per token
-GAP = 800  # 0.05 s silence after each tone (token boundary cue)
+NOISE = 0.05  # additive white noise, ~12.5 dB SNR vs the 0.3-amp tone
+
+
+def _gen_utt(rng, names, t_axis, max_extra: int = 4):
+    """One utterance: 2-5 tones, no immediate repeats (adjacent identical
+    tones have no acoustic boundary and are genuinely ambiguous), tones
+    butted together with no silence, plus additive noise."""
+    toks = [rng.choice(names)]
+    for _ in range(int(rng.integers(1, max_extra + 1))):
+        toks.append(rng.choice([x for x in names if x != toks[-1]]))
+    segs = [0.3 * np.sin(2 * np.pi * TONES[tok] * t_axis) for tok in toks]
+    wav = np.concatenate(segs).astype(np.float32)
+    wav += NOISE * rng.standard_normal(wav.size).astype(np.float32)
+    return toks, wav
 
 
 def run_cmd(args):
@@ -40,36 +59,25 @@ def run_cmd(args):
 
 @pytest.fixture(scope="module")
 def tone_corpus(tmp_path_factory):
-    """Utterances are repeat-free tone sequences with a short silence gap
-    after every tone: the audio fully determines the token string, so a
-    correct model can reach 0% WER on held-out data."""
+    """Utterances are repeat-free tone sequences, tones butted together
+    (no boundary cue) under additive noise: the audio still fully
+    determines the token string, so a correct model can reach 0% WER on
+    held-out data — but only by actually segmenting + classifying."""
     from aps_tpu.io import write_audio
     root = tmp_path_factory.mktemp("tone")
     rng = np.random.default_rng(7)
     with open(root / "dict", "w") as fd:
-        for i, tok in enumerate(["<unk>", "a", "b", "c", "<sos>", "<eos>"]):
+        for i, tok in enumerate(["<unk>"] + list(TONES) +
+                                ["<sos>", "<eos>"]):
             fd.write(f"{tok} {i}\n")
     names = list(TONES)
     t_axis = np.arange(SEG) / SR
-    for sub, n in [("tr", 200), ("cv", 12)]:
+    for sub, n in [("tr", 900), ("cv", 12)]:
         with open(root / f"{sub}_wav.scp", "w") as w, \
                 open(root / f"{sub}_text", "w") as t, \
                 open(root / f"{sub}_dur", "w") as d:
             for i in range(n):
-                toks = [rng.choice(names)]
-                for _ in range(int(rng.integers(1, 5))):
-                    # no immediate repeats: adjacent identical tones have
-                    # no acoustic boundary and are genuinely ambiguous
-                    toks.append(rng.choice(
-                        [x for x in names if x != toks[-1]]))
-                segs = []
-                for tok in toks:
-                    segs.append(0.3 * np.sin(
-                        2 * np.pi * TONES[tok] * t_axis))
-                    segs.append(np.zeros(GAP))
-                wav = np.concatenate(segs).astype(np.float32)
-                wav += 0.01 * rng.standard_normal(wav.size).astype(
-                    np.float32)
+                toks, wav = _gen_utt(rng, names, t_axis)
                 path = root / f"{sub}_{i}.wav"
                 write_audio(str(path), wav, sr=SR)
                 w.write(f"utt{i} {path}\n")
@@ -83,7 +91,7 @@ def tone_corpus(tmp_path_factory):
             "att_kwargs": {"att_dim": 32},
             "enc_type": "pytorch_rnn",
             "enc_proj": 32,
-            "enc_kwargs": {"hidden": 64, "num_layers": 1,
+            "enc_kwargs": {"hidden": 128, "num_layers": 1,
                            "bidirectional": True},
             "dec_kwargs": {"hidden": 64, "num_layers": 1},
         },
@@ -130,13 +138,13 @@ def _wer_of(decode_path, text_path) -> float:
 
 
 def test_asr_heldout_zero_wer(tone_corpus, tmp_path):
-    """Train on 200 utterances, decode the 12 held-out ones with joint
+    """Train on 900 utterances, decode the 12 held-out ones with joint
     CTC/attention scoring: must be exactly 0% WER."""
     root, conf_path = tone_corpus
     cpt = tmp_path / "exp"
     run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
              "--checkpoint", str(cpt), "--batch-size", "16",
-             "--epochs", "40", "--dict", str(root / "dict"),
+             "--epochs", "60", "--dict", str(root / "dict"),
              "--num-workers", "0", "--prog-interval", "100"])
     out = tmp_path / "cv.decode"
     run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
@@ -158,7 +166,7 @@ def test_transducer_heldout_zero_wer(tone_corpus, tmp_path):
             "input_size": 40,
             "enc_type": "pytorch_rnn",
             "enc_proj": 32,
-            "enc_kwargs": {"hidden": 64, "num_layers": 1,
+            "enc_kwargs": {"hidden": 128, "num_layers": 1,
                            "bidirectional": True},
             "dec_kwargs": {"embed_size": 16, "jot_dim": 32, "hidden": 64,
                            "num_layers": 1},
@@ -195,14 +203,26 @@ def test_transducer_heldout_zero_wer(tone_corpus, tmp_path):
     cpt = tmp_path / "exp"
     run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
              "--checkpoint", str(cpt), "--batch-size", "16",
-             "--epochs", "30", "--dict", str(root / "dict"),
+             "--epochs", "40", "--dict", str(root / "dict"),
              "--num-workers", "0", "--prog-interval", "100"])
     out = tmp_path / "cv.decode"
     run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
-             "--am", str(cpt), "--beam-size", "4", "--nbest", "1",
+             "--am", str(cpt), "--beam-size", "8", "--nbest", "1",
              "--dict", str(cpt / "dict")])
     wer = _wer_of(out, root / "cv_text")
     assert wer == 0.0, f"held-out transducer WER {wer}% != 0 (quality gate)"
+    # beam search must never be WORSE than greedy on the same model
+    # (reference records hang off beam-8 transducer decoding,
+    # /root/reference/examples/asr/aishell_v1/README.md:66-74): a
+    # beam-scoring regression (prefix merge, pruning, log-sum order)
+    # shows up here as beam < greedy even when both stay plausible
+    out_g = tmp_path / "cv.greedy.decode"
+    run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out_g),
+             "--am", str(cpt), "--function", "greedy_search",
+             "--dict", str(cpt / "dict")])
+    wer_g = _wer_of(out_g, root / "cv_text")
+    assert wer <= wer_g, \
+        f"transducer beam-8 WER {wer}% > greedy WER {wer_g}%"
 
 
 def test_flagship_conformer_heldout_zero_wer(tone_corpus, tmp_path):
@@ -212,8 +232,8 @@ def test_flagship_conformer_heldout_zero_wer(tone_corpus, tmp_path):
     search with --approx-topk (the headline bench config) AND exact
     top-k — both must be 0% WER and produce identical transcripts."""
     root, _ = tone_corpus
-    # conformers are data-hungrier than the RNN AED: 200 train utts
-    # overfit (94% train / 79% valid accu); 600 reach 0% held-out WER
+    # conformers are data-hungrier than the RNN AED: on the 12-token
+    # no-gap corpus 600 utts plateau at ~22% WER; 1200 reach 0%
     rng = np.random.default_rng(17)
     names = list(TONES)
     t_axis = np.arange(SEG) / SR
@@ -223,19 +243,8 @@ def test_flagship_conformer_heldout_zero_wer(tone_corpus, tmp_path):
             open(root / "tr6_text", "a+") as t, \
             open(root / "tr6_dur", "a+") as d:
         if w.tell() == 0:
-            for i in range(600):
-                toks = [rng.choice(names)]
-                for _ in range(int(rng.integers(1, 5))):
-                    toks.append(rng.choice(
-                        [x for x in names if x != toks[-1]]))
-                segs = []
-                for tok in toks:
-                    segs.append(0.3 * np.sin(
-                        2 * np.pi * TONES[tok] * t_axis))
-                    segs.append(np.zeros(GAP))
-                wav = np.concatenate(segs).astype(np.float32)
-                wav += 0.01 * rng.standard_normal(wav.size).astype(
-                    np.float32)
+            for i in range(1200):
+                toks, wav = _gen_utt(rng, names, t_axis)
                 path = root / f"tr6_{i}.wav"
                 write_audio(str(path), wav, sr=SR)
                 w.write(f"u6_{i} {path}\n")
@@ -293,7 +302,7 @@ def test_flagship_conformer_heldout_zero_wer(tone_corpus, tmp_path):
     cpt = tmp_path / "exp"
     run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
              "--checkpoint", str(cpt), "--batch-size", "16",
-             "--epochs", "80", "--dict", str(root / "dict"),
+             "--epochs", "100", "--dict", str(root / "dict"),
              "--num-workers", "0", "--prog-interval", "200"])
     outs = {}
     for tag, approx, dtype in [("approx", "true", "float32"),
@@ -312,6 +321,154 @@ def test_flagship_conformer_heldout_zero_wer(tone_corpus, tmp_path):
         "approx-topk changed flagship transcripts"
     assert outs["bf16"] == outs["approx"], \
         "bfloat16 decode changed flagship transcripts"
+
+
+def test_lm_fusion_improves_wer(tmp_path):
+    """Shallow NN-LM fusion must STRICTLY improve held-out WER at the
+    same beam (the reference's records are built on LM fusion,
+    /root/reference/examples/asr/aishell_v1/README.md:55-63 — nothing
+    previously asserted it helps accuracy, only that it runs).
+
+    Construction makes the improvement deterministic: tokens x and y are
+    acoustic HOMOPHONES (same 1742 Hz tone). The AM's training text pairs
+    them by the OPPOSITE rule to the eval domain (x after b, y after a),
+    modeling the domain shift text-only LM adaptation exists to fix; the
+    LM trains on eval-domain text (x after a, y after b). AM-only beam
+    search therefore gets every homophone slot wrong; fusion at weight
+    1.0 must flip them all right: WER drops to 0."""
+    from aps_tpu.io import write_audio
+    root = tmp_path / "ws"
+    os.makedirs(root)
+    rng = np.random.default_rng(11)
+    freqs = {"a": 330.0, "b": 880.0, "x": 1742.0, "y": 1742.0}
+    with open(root / "dict", "w") as fd:
+        for i, tok in enumerate(["<unk>", "a", "b", "x", "y",
+                                 "<sos>", "<eos>"]):
+            fd.write(f"{tok} {i}\n")
+    t_axis = np.arange(SEG) / SR
+
+    def pair_utt(rule):
+        """1-3 (context, homophone) pairs; homophone per `rule(c)`."""
+        toks = []
+        for _ in range(int(rng.integers(1, 4))):
+            c = str(rng.choice(["a", "b"]))
+            toks += [c, rule(c)]
+        return toks
+
+    def write_set(sub, n, rule):
+        with open(root / f"{sub}_wav.scp", "w") as w, \
+                open(root / f"{sub}_text", "w") as t, \
+                open(root / f"{sub}_dur", "w") as d:
+            for i in range(n):
+                toks = pair_utt(rule)
+                segs = [0.3 * np.sin(2 * np.pi * freqs[tok] * t_axis)
+                        for tok in toks]
+                wav = np.concatenate(segs).astype(np.float32)
+                wav += 0.01 * rng.standard_normal(wav.size).astype(
+                    np.float32)
+                path = root / f"{sub}_{i}.wav"
+                write_audio(str(path), wav, sr=SR)
+                w.write(f"utt{i} {path}\n")
+                t.write(f"utt{i} " + " ".join(toks) + "\n")
+                d.write(f"utt{i} {wav.size / SR}\n")
+
+    am_rule = lambda c: "x" if c == "b" else "y"  # AM domain
+    ev_rule = lambda c: "x" if c == "a" else "y"  # eval + LM domain
+    write_set("tr", 150, am_rule)
+    write_set("tr_cv", 10, am_rule)  # AM valid set, AM domain
+    write_set("cv", 12, ev_rule)
+    # text-only LM corpus in the EVAL domain (the fusion use case)
+    with open(root / "lm_tr_text", "w") as ft, \
+            open(root / "lm_cv_text", "w") as fv:
+        for i in range(400):
+            (ft if i % 20 else fv).write(
+                f"u{i} " + " ".join(pair_utt(ev_rule)) + "\n")
+    conf = {
+        "nnet": "asr@att",
+        "nnet_conf": {
+            "input_size": 40,
+            "att_type": "ctx",
+            "att_kwargs": {"att_dim": 32},
+            "enc_type": "pytorch_rnn",
+            "enc_proj": 32,
+            "enc_kwargs": {"hidden": 128, "num_layers": 1,
+                           "bidirectional": True},
+            "dec_kwargs": {"hidden": 64, "num_layers": 1},
+        },
+        "asr_transform": {
+            "feats": "fbank-log-cmvn", "frame_len": 400, "frame_hop": 160,
+            "num_mels": 40, "window": "hamm",
+        },
+        "task": "asr@ctc_xent",
+        # label smoothing caps the AM decoder's anti-rule confidence
+        # (~4.2 nats over a 7-token vocab) safely under the LM's
+        # rule margin (~6 nats), so weight 1.0 flips every slot
+        "task_conf": {"ctc_weight": 0.2, "lsm_factor": 0.1},
+        "data_conf": {
+            "fmt": "am@raw",
+            "loader": {"max_dur": 10, "min_dur": 0.1, "min_token_num": 1,
+                       "tokenizer": "word"},
+            "train": {"wav_scp": str(root / "tr_wav.scp"),
+                      "text": str(root / "tr_text"),
+                      "utt2dur": str(root / "tr_dur")},
+            "valid": {"wav_scp": str(root / "tr_cv_wav.scp"),
+                      "text": str(root / "tr_cv_text"),
+                      "utt2dur": str(root / "tr_cv_dur")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam",
+            "optimizer_kwargs": {"lr": 2e-3},
+            "lr_scheduler": "reduce_lr",
+            "lr_scheduler_kwargs": {"factor": 0.5, "patience": 8},
+            "clip_gradient": 5.0,
+            "no_impr": 100,
+            "report_metrics": ["loss", "accu"],
+        },
+    }
+    conf_path = root / "1a.yaml"
+    conf_path.write_text(yaml.dump(conf))
+    cpt = tmp_path / "exp"
+    run_cmd(["cmd/train_am.py", "--conf", str(conf_path),
+             "--checkpoint", str(cpt), "--batch-size", "16",
+             "--epochs", "30", "--dict", str(root / "dict"),
+             "--num-workers", "0", "--prog-interval", "100"])
+    lm_conf = {
+        "nnet": "asr@rnn_lm",
+        "nnet_conf": {"embed_size": 16, "hidden_size": 32,
+                      "num_layers": 1},
+        "task": "asr@lm", "task_conf": {},
+        "data_conf": {
+            "fmt": "lm@utt",
+            "loader": {"min_token_num": 1, "tokenizer": "word"},
+            "train": {"text": str(root / "lm_tr_text")},
+            "valid": {"text": str(root / "lm_cv_text")},
+        },
+        "trainer_conf": {
+            "optimizer": "adam", "optimizer_kwargs": {"lr": 2e-3},
+            "lr_scheduler": "reduce_lr", "lr_scheduler_kwargs": {},
+            "no_impr": 100,
+            "report_metrics": ["loss", "@ppl"], "stop_criterion": "loss",
+        },
+    }
+    lm_yaml = root / "lm.yaml"
+    lm_yaml.write_text(yaml.dump(lm_conf))
+    lm_cpt = tmp_path / "lm_exp"
+    run_cmd(["cmd/train_lm.py", "--conf", str(lm_yaml),
+             "--checkpoint", str(lm_cpt), "--batch-size", "16",
+             "--epochs", "20", "--dict", str(root / "dict"),
+             "--num-workers", "0", "--prog-interval", "100"])
+    wers = {}
+    for tag, extra in [("nolm", []),
+                       ("lm", ["--lm", str(lm_cpt),
+                               "--lm-weight", "1.0"])]:
+        out = tmp_path / f"cv.{tag}.decode"
+        run_cmd(["cmd/decode.py", str(root / "cv_wav.scp"), str(out),
+                 "--am", str(cpt), "--beam-size", "4", "--nbest", "1",
+                 "--max-len", "8", "--dict", str(cpt / "dict")] + extra)
+        wers[tag] = _wer_of(out, root / "cv_text")
+    assert wers["lm"] == 0.0, f"fused WER {wers['lm']}% != 0"
+    assert wers["lm"] < wers["nolm"], \
+        f"LM fusion did not improve WER: {wers['lm']}% vs {wers['nolm']}%"
 
 
 def _sisnr(est, ref) -> float:

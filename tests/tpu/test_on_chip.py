@@ -570,6 +570,117 @@ def test_transducer_search_on_chip(rng):
                                        rtol=1e-3, atol=5e-3)
 
 
+def test_aed_decode_parity_trained_on_chip(rng):
+    """The three defaults behind the headline decode number, pinned on
+    hardware with a TRAINED flagship-family model (VERDICT r04 next #3):
+    incremental decoding (the max_len >= 32 default) == full-prefix
+    rescore, the flat-lane batched search == single-utterance, and
+    approx-topk == exact — all at the TRANSCRIPT level. The brief
+    on-chip training separates the token logits so fusion-rounding
+    near-ties (which forced score-only checks on random-init models)
+    cannot mask a real regression."""
+    import optax
+
+    from __graft_entry__ import _build_flagship
+    from aps_tpu.asr.beam_search.transformer import (INC_CROSSOVER,
+                                                     beam_search,
+                                                     beam_search_batch)
+
+    V = 16  # 0..11 tones, 12 unused, 13 sos, 14 eos, 15 blank
+    nnet = _build_flagship(vocab_size=V, small=True)
+    # no label smoothing: this test WANTS sharply separated logits
+    task = aps_task("asr@ctc_xent", nnet, ctc_weight=0.2, blank=V - 1,
+                    lsm_factor=0.0)
+    rng2 = np.random.default_rng(5)
+    tones = [500.0 + 450.0 * k for k in range(4)]
+    B, To, seg = 8, 4, 2000
+
+    def make_batch():
+        ys = rng2.integers(0, 4, size=(B, To))
+        t_ax = np.arange(seg) / 16000.0
+        wavs = np.stack([
+            np.concatenate([
+                0.3 * np.sin(2 * np.pi * tones[t] * t_ax) for t in row
+            ]) for row in ys
+        ]).astype(np.float32)
+        wavs += 0.01 * rng2.standard_normal(wavs.shape).astype(np.float32)
+        return {
+            "src_pad": jnp.asarray(wavs),
+            "src_len": jnp.full((B,), wavs.shape[-1]),
+            "tgt_pad": jnp.asarray(ys, dtype=jnp.int32),
+            "tgt_len": jnp.full((B,), To),
+        }
+
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2),
+            "ss": jax.random.PRNGKey(3)}
+    egs0 = make_batch()
+    tvars = task.init(rngs, egs0, training=True)
+    params = tvars["params"]
+    mstate = {k: v for k, v in tvars.items() if k != "params"}
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(2e-3))
+    opt_state = tx.init(params)
+
+    def step(params, mstate, opt_state, egs, rng):
+        def loss_fn(p):
+            out, new_ms = task.apply(
+                {"params": p, **mstate}, egs, training=True,
+                rngs={"dropout": rng, "aug": rng, "ss": rng},
+                mutable=list(mstate.keys()))
+            return out["loss"], new_ms
+
+        (loss, new_ms), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_ms, opt_state,
+                loss)
+
+    # dispatch-per-step training (a lax.scan over steps was tried and
+    # compiles ~3x the whole test's wall on this runtime's remote
+    # compile server — per-step dispatch is the cheaper evil here)
+    jstep = jax.jit(step, donate_argnums=(0, 1, 2))
+    losses = []
+    for i in range(600):
+        params, mstate, opt_state, loss = jstep(
+            params, mstate, opt_state, make_batch(), jax.random.PRNGKey(i))
+        if i % 50 == 49:
+            losses.append(float(loss))
+    # the parity asserts below are only meaningful with well-separated
+    # logits: a weakly-trained model leaves near-tied tokens where a
+    # one-ulp fusion difference between the compiled programs flips the
+    # argmax (that is a rounding artifact, not a search regression)
+    assert np.isfinite(losses[-1]) and losses[-1] < 0.5, losses
+    variables = {"params": params["nnet"], **{
+        k: v["nnet"] for k, v in mstate.items() if "nnet" in v}}
+
+    eval_egs = make_batch()
+    xs = [eval_egs["src_pad"][i] for i in range(4)]
+    kw = dict(sos=V - 3, eos=V - 2, beam_size=4, nbest=1, len_norm=False,
+              ctc_weight=0.0)
+    full, inc, approx = [], [], []
+    for x_i in xs:
+        # max_len below/above INC_CROSSOVER selects full-prefix rescore
+        # vs incremental decoding (the shipped default at long max_len)
+        full.append(beam_search(nnet, variables, x_i, max_len=8, **kw))
+        inc.append(beam_search(nnet, variables, x_i,
+                               max_len=INC_CROSSOVER, **kw))
+        approx.append(beam_search(nnet, variables, x_i, max_len=8,
+                                  approx_topk=True, **kw))
+    for f, i_, a in zip(full, inc, approx):
+        assert f[0]["trans"] == i_[0]["trans"], \
+            (f[0]["trans"], i_[0]["trans"])
+        assert f[0]["trans"] == a[0]["trans"], \
+            (f[0]["trans"], a[0]["trans"])
+    # transcripts must be non-trivial (trained model actually decodes
+    # tone tokens, not an empty/eos-only string)
+    assert any(len(f[0]["trans"]) > 2 for f in full)
+    # flat-lane batched program == the single-utterance program
+    batched = beam_search_batch(nnet, variables, xs, max_len=8, **kw)
+    for hyps, f in zip(batched, full):
+        assert hyps[0]["trans"] == f[0]["trans"], \
+            (hyps[0]["trans"], f[0]["trans"])
+
+
 # ------------------------------------------------------------- trainer sync
 def test_pipelined_trainer_on_chip(tmp_path):
     """The dp trainer's pipelined step sync (pipeline_depth=1) on the real
