@@ -217,45 +217,24 @@ def bench_train(on_tpu: bool):
                 params, mstate, opt_state, egs, jax.random.PRNGKey(i))
             jax.block_until_ready(loss)
         wall_sync = min(wall_sync, time.perf_counter() - beg)
-    # device-pure step time: lax.scan over the SAME step inside one
-    # program, so per-dispatch host/tunnel latency (probed at 0.06-77 ms
-    # PER DISPATCH depending on host load and tunnel weather — it moved
-    # the per-step numbers above between 4.6 and 15 ms across sessions
-    # with identical code) cannot contaminate it. This is the number to
-    # compare across rounds, and the denominator MFU is computed from.
-    def scan_steps(params, mstate, opt_state, keys):
-        def body(carry, key):
-            p, ms, os_ = carry
-            p, ms, os_, loss = step(p, ms, os_, egs, key)
-            return (p, ms, os_), loss
-
-        (params, mstate, opt_state), losses = jax.lax.scan(
-            body, (params, mstate, opt_state), keys)
-        return params, mstate, opt_state, losses[-1]
-
-    jitted_scan = jax.jit(scan_steps, donate_argnums=(0, 1, 2))
-    keys = jax.random.split(jax.random.PRNGKey(7), iters)
-    params, mstate, opt_state, loss = jitted_scan(params, mstate,
-                                                  opt_state, keys)
-    jax.block_until_ready(loss)
-    wall_scan = float("inf")
-    for _ in range(3 if on_tpu else 1):
-        beg = time.perf_counter()
-        params, mstate, opt_state, loss = jitted_scan(params, mstate,
-                                                      opt_state, keys)
-        jax.block_until_ready(loss)
-        wall_scan = min(wall_scan, time.perf_counter() - beg)
-    rtf_scan = N * secs * iters / wall_scan
-    best_rtf = max(rtf, rtf_scan)
-    best_wall = min(wall, wall_scan)
+    # NOTE a lax.scan-of-steps "device-pure" timing variant was tried
+    # and REMOVED: on this runtime multi-step program bodies compile
+    # pathologically slowly on the remote compile server (minutes) and
+    # the compiled scan then RUNS ~12x slower per step than the same
+    # step dispatched repeatedly (76 vs 6.0 ms measured back-to-back on
+    # a quiet chip) — it burned the metric's time budget and measured
+    # the runtime's scan pathology, not the model. The dispatch-loop
+    # numbers below carry per-dispatch host/tunnel latency instead
+    # (probed 0.06-77 ms per dispatch depending on host load), which is
+    # why train RTF moves more across sessions than decode/separate.
+    best_wall = wall
     out = {
         "metric": "conformer_aed_train_rtf",
-        "value": round(best_rtf, 2),
+        "value": round(rtf, 2),
         "unit": "audio_sec/sec",
-        "vs_baseline": round(best_rtf / ROUND1["train"], 3),
-        "vs_prev_round": round(best_rtf / PREV_ROUND["train"], 3),
-        "utts_per_sec": round(N * iters / best_wall, 2),
-        "steptime_scan_ms": round(1e3 * wall_scan / iters, 3),
+        "vs_baseline": round(rtf / ROUND1["train"], 3),
+        "vs_prev_round": round(rtf / PREV_ROUND["train"], 3),
+        "utts_per_sec": round(N * iters / wall, 2),
         "steptime_pipelined_ms": round(1e3 * wall / iters, 3),
         "steptime_sync_ms": round(1e3 * wall_sync / iters, 3),
     }
