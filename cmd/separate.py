@@ -322,21 +322,13 @@ def run(args):
                 f"length plan: {len(plan)} bucket(s): " +
                 ", ".join(f"{S / args.sr:.2f}s x{len(ks)}"
                           for S, ks in plan))
-            # prewarm: run a zeros dummy batch per planned shape on a
-            # background thread so program compile/load overlaps the
-            # corpus reads (jit's executable cache is shared; the real
-            # first batch of each bucket then dispatches instantly)
-            import threading
-
-            def _prewarm():
-                for S, _ in plan:
-                    z = [np.zeros(S, np.float32)] * args.batch_size
-                    try:
-                        separator.run_batch_async(z, pad_to=S)()
-                    except Exception:  # noqa: BLE001 - warm-up only
-                        return
-
-            threading.Thread(target=_prewarm, daemon=True).start()
+            # NOTE a background prewarm thread (zeros dummy batch per
+            # planned shape, overlapping program load with corpus reads)
+            # was tried and REMOVED: concurrent dispatch from a second
+            # thread intermittently deadlocks the networked-device
+            # plugin (CLI hung >13 min on a 32-utt corpus, reproduced
+            # twice), and with the planner the first real batch already
+            # compiles the bucket's only program.
 
     def singles(key, mix):
         """Non-batchable utterance (multi-channel / chunked / freq)."""
