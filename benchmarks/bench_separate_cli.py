@@ -74,8 +74,13 @@ with open(root / "mixvar256.scp", "w") as fd:
             wav = (0.1 * rng.standard_normal(S)).astype(np.float32)
             write_audio(str(root / f"v{i}.wav"), wav, sr=8000)
         fd.write(f"utt{i} {root}/v{i}.wav\n")
-runs = [(32, 8), (32, 8), (32, 8), (256, 32), (256, 32), (256, 32),
-        ("var256", 32), ("var256", 32), ("var256", 32)]
+# 2 runs per config (first 32-utt run also warms the compile cache):
+# every subprocess pays the tunnel's first-host-fetch session stall
+# (~2 min on a degraded day, probed 72-840+ s on 2026-08-20) in CLI
+# setup — the data-plane warm-up in cmd/separate.py keeps it out of
+# the logged RTF, but 3 repeats per config would burn an hour of wall
+runs = [(32, 8), (32, 8), (256, 32), (256, 32),
+        ("var256", 32), ("var256", 32)]
 for i, (n, bs) in enumerate(runs):  # first run warms the compile cache
     # NOTE: PYTHONPATH=/root/repo breaks the axon plugin's registration
     # in the child (verified: even `python -c "import jax"` then fails to

@@ -249,6 +249,14 @@ def run(args):
                           device_id=args.device_id, dtype=args.dtype,
                           fused=args.fused)
     reader = AudioReader(args.wav_scp, sr=args.sr, channel=args.channel)
+    # establish the device<->host data plane BEFORE the RTF timer: on a
+    # networked device the FIRST host fetch of a process can stall for
+    # 1-2 min (session establishment, measured 72-300 s on a degraded
+    # tunnel; ~0.1 s per fetch after). One tiny sequential roundtrip on
+    # the MAIN thread (a background thread deadlocks the plugin — see
+    # note below) keeps that environment artifact out of the reported
+    # RTF; on a local TPU this costs ~1 ms.
+    np.asarray(jnp.zeros((), jnp.float32) + 1.0)
     timer = SimpleTimer()
     tot_dur = 0
     scps = {}
