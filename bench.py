@@ -390,6 +390,29 @@ def main():
         reachable = probe.returncode == 0
     except subprocess.TimeoutExpired:
         reachable = False
+    # chip health: the tunnel's FIRST device->host fetch of a process
+    # stalls for session establishment — probed 0.1-71.5 s on a good
+    # day, 72-840+ s on a degraded one (2026-08-20). The timed metric
+    # loops below are fetch-free (block_until_ready only) and decode
+    # absorbs its stall in the compile-all warm-up, but record the
+    # latency so RTF variance across rounds can be attributed.
+    first_fetch = None
+    if reachable:
+        try:
+            fp = subprocess.run(
+                [sys.executable, "-c",
+                 "import time, jax, numpy as np\n"
+                 "x = jax.numpy.ones((8, 8), jax.numpy.float32)\n"
+                 "t = time.time()\n"
+                 "np.asarray(x + 1)\n"
+                 "print('FETCH', round(time.time() - t, 1))"],
+                capture_output=True, text=True,
+                timeout=max(60.0, min(300.0, remaining())))
+            for ln in (fp.stdout or "").splitlines():
+                if ln.startswith("FETCH"):
+                    first_fetch = float(ln.split()[1])
+        except subprocess.TimeoutExpired as exc:
+            first_fetch = f">{exc.timeout:.0f}s (stalled)"
     if not reachable:
         print(json.dumps({
             "metric": "conformer_aed_batched_decode_rtf", "value": 0.0,
@@ -494,6 +517,8 @@ def main():
     result["tpu_tier"] = run_tpu_tier(remaining())
     timings["total"] = round(time.monotonic() - t0, 1)
     result["wall_secs"] = timings
+    if first_fetch is not None:
+        result["chip_first_fetch_secs"] = first_fetch
     print(json.dumps(result))
 
 
