@@ -407,7 +407,7 @@ def main():
                  "np.asarray(x + 1)\n"
                  "print('FETCH', round(time.time() - t, 1))"],
                 capture_output=True, text=True,
-                timeout=max(60.0, min(300.0, remaining())))
+                timeout=max(60.0, min(120.0, remaining())))
             for ln in (fp.stdout or "").splitlines():
                 if ln.startswith("FETCH"):
                     first_fetch = float(ln.split()[1])
@@ -426,18 +426,26 @@ def main():
     # (dominated by the tunnel's ~60-110 s device program load per
     # process); the cap only matters when a compile-cache miss or a
     # contended chip blows a metric up — then it is bounded so the
-    # stages after it still run
-    caps = {"decode": 900.0, "train": 700.0, "separate": 600.0}
+    # stages after it still run.
+    # ORDER: train and separate run FIRST — their timed loops are
+    # fetch-free (block_until_ready only), so they never pay the
+    # tunnel's first-host-fetch session stall (72 s-20+ min on a
+    # degraded day, see chip_first_fetch_secs) and bank their numbers
+    # in ~200 s each. Decode — the headline — DOES fetch transcripts
+    # and absorbs the stall in its compile-all warm-up, so it gets all
+    # the budget that's left minus a small reserve for the tpu tier
+    # (on 2026-08-20 a 900 s decode cap lost the headline to a >300 s
+    # stall while train/separate sailed through).
+    tier_reserve = 180.0
+    caps = {"decode": None, "train": 700.0, "separate": 600.0}
+    metric_names = {"decode": "conformer_aed_batched_decode_rtf",
+                    "train": "conformer_aed_train_rtf",
+                    "separate": "conv_tasnet_batched_separate_rtf"}
 
     results = {}
     timings = {}
-    for name in ("decode", "train", "separate"):
-        budget = min(caps[name], remaining())
-        if budget < 90.0:
-            results[name] = {"metric": name, "value": 0.0,
-                             "unit": "x_realtime", "vs_baseline": 0.0,
-                             "error": "skipped: global deadline"}
-            continue
+
+    def run_metric(name: str, budget: float) -> dict:
         beg = time.monotonic()
         try:
             proc = subprocess.run(
@@ -448,20 +456,47 @@ def main():
         except subprocess.TimeoutExpired as exc:
             rc, stdout = -1, ""
             stderr = f"timeout after {exc.timeout:.0f}s"
-        timings[name] = round(time.monotonic() - beg, 1)
+        timings[name] = round(timings.get(name, 0.0)
+                              + time.monotonic() - beg, 1)
         line = ""
         for ln in reversed((stdout or "").strip().splitlines()):
             if ln.startswith("{"):
                 line = ln
                 break
         if rc == 0 and line:
-            results[name] = json.loads(line)
-        else:
-            # keep the driver schema (value/unit/vs_baseline) even on
-            # failure so the ONE output line always parses
-            results[name] = {"metric": name, "value": 0.0,
+            return json.loads(line)
+        # keep the driver schema (value/unit/vs_baseline) even on
+        # failure so the ONE output line always parses
+        return {"metric": metric_names[name], "value": 0.0,
+                "unit": "x_realtime", "vs_baseline": 0.0,
+                "error": (stderr or "no output")[-200:]}
+
+    for name in ("train", "separate", "decode"):
+        cap = caps[name]
+        if cap is None:
+            cap = max(0.0, remaining() - tier_reserve)
+        budget = min(cap, remaining())
+        if budget < 90.0:
+            results[name] = {"metric": metric_names[name], "value": 0.0,
                              "unit": "x_realtime", "vs_baseline": 0.0,
-                             "error": (stderr or "no output")[-200:]}
+                             "error": "skipped: global deadline"}
+            continue
+        results[name] = run_metric(name, budget)
+
+    # one retry for metrics lost to chip weather: the tunnel degrades in
+    # windows of minutes, and back-to-back validation runs each lost a
+    # DIFFERENT metric to a bad window while the others banked — a
+    # single retry when budget allows recovers most of those
+    for name in ("decode", "train", "separate"):
+        if "error" not in results.get(name, {}):
+            continue
+        budget = min(caps[name] or float("inf"),
+                     remaining() - tier_reserve)
+        if budget < 180.0:
+            continue
+        retry = run_metric(name, budget)
+        if "error" not in retry:
+            results[name] = retry
 
     # on-chip correctness is part of the driver artifact (VERDICT r03
     # weak #3): run the real-chip test tier and record pass/fail counts
