@@ -48,7 +48,15 @@ BLOCK = 32  # frames per closed-form block (matches ctc.py)
 # back to the portable XLA scorer.
 LANE_BLOCK = 256        # cap (short utterances)
 _LIVE_BUFFERS = 16      # conservative live (Tpad, LB) f32 buffer count
-_VMEM_BUDGET = 12 * 2**20
+# Budget calibrated EMPIRICALLY on the v5e bench chip (2026-08-20,
+# ADVICE r04): with the gate bypassed, Tpad=2048 x 128 lanes compiles
+# and runs (2.7-3.2 ms/call, flat from T=512), Tpad=3072 x 128 dies in
+# the Mosaic compile — so the real wall sits between the 16-buffer
+# model's 16.8 MB and 25.2 MB estimates. 16 MiB admits EXACTLY the
+# tested envelope — 128-lane blocks to Tpad<=2048 (~80 s utterances at
+# 25 fps encoder frames) and 256-lane blocks to Tpad<=1024 — and
+# rejects everything beyond it.
+_VMEM_BUDGET = 16 * 2**20
 
 
 def _lane_block(T: int) -> int:
